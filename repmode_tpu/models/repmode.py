@@ -1,0 +1,288 @@
+"""The RepMode MoDE U-Net, TPU-native.
+
+Topology matches the reference exactly (fnet/nn_modules/RepMode.py:26-42):
+4 MoDE encoder blocks (1 -> 32 -> 64 -> 128 -> 256 channels, mult_chan=32),
+a 256 -> 512 bottleneck of two MoDE convs, 4 MoDE decoder blocks back to 32,
+and a final gate-only MoDEConv 32 -> 1 with no BN/ReLU.
+
+Differences are all representation/execution, not math:
+  * activations are NDHWC (channels-last on the TPU lane axis),
+  * MoDE convs run as 5 shared-kernel batch convs + gated combine
+    (ops/mode.py expert_sum; exactly equal to the reference's per-sample
+    merged kernels by linearity of convolution),
+  * the k=2,s=2 down/upsample convs are exact reshape+einsum matmuls,
+  * BatchNorm reproduces torch BatchNorm3d semantics (ops/norm.py),
+  * weight init reproduces torch's kaiming_uniform(a=sqrt(5)) bounds.
+
+Parameter names mirror the reference modules (encoder_block1..4, bottle_block,
+decoder_block4..1, conv_out; expert kernels w5/w3/w1/wa3/wa5; gate) so torch
+checkpoints map 1:1 (compat/torch_import.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from repmode_tpu.config import ModelConfig
+from repmode_tpu.ops.conv3d import downsample2x_conv, upsample2x_convt
+from repmode_tpu.ops.mode import (
+    ExpertKernels,
+    gate_logits_to_weights,
+    mode_conv_expert_sum,
+    mode_conv_merged,
+)
+from repmode_tpu.ops.norm import batch_norm_apply, batch_norm_train
+
+
+def torch_uniform_init(fan_in: int):
+    """torch kaiming_uniform_(a=sqrt(5)): U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    gain = sqrt(2/(1+5)) = 1/sqrt(3); bound = gain*sqrt(3/fan_in) = 1/sqrt(fan_in).
+    Matches reference gen_conv_kernel (RepMode.py:156-159) and torch's default
+    Conv3d / Linear init.
+    """
+    bound = 1.0 / (fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class BatchNorm3d(nn.Module):
+    """torch-semantics BatchNorm over (N, D, H, W) with running stats."""
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        if train:
+            y, new_mean, new_var = batch_norm_train(
+                x, ra_mean.value, ra_var.value, scale, bias,
+                momentum=self.momentum, eps=self.eps,
+            )
+            if not self.is_initializing():
+                ra_mean.value = new_mean
+                ra_var.value = new_var
+            return y
+        return batch_norm_apply(x, ra_mean.value, ra_var.value, scale, bias, self.eps)
+
+
+class MoDEConv(nn.Module):
+    """One MoDE conv unit (reference MoDEConv, RepMode.py:123-214)."""
+
+    num_experts: int
+    num_tasks: int
+    in_chan: int
+    out_chan: int
+    kernel_size: int = 5
+    conv_type: str = "normal"  # 'normal' = +BN+ReLU, 'final' = identity
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    compute_dtype: Optional[jnp.dtype] = None
+    train_impl: str = "expert_sum"
+
+    def setup(self):
+        ci, co, e = self.in_chan, self.out_chan, self.num_experts
+        self.w5 = self.param("w5", torch_uniform_init(ci * 125), (5, 5, 5, ci, co))
+        self.w3 = self.param("w3", torch_uniform_init(ci * 27), (3, 3, 3, ci, co))
+        self.w1 = self.param("w1", torch_uniform_init(ci), (1, 1, 1, ci, co))
+        self.wa3 = self.param("wa3", torch_uniform_init(ci), (1, 1, 1, ci, co))
+        self.wa5 = self.param("wa5", torch_uniform_init(ci), (1, 1, 1, ci, co))
+        self.gate_kernel = self.param(
+            "gate_kernel", torch_uniform_init(self.num_tasks), (self.num_tasks, e * co)
+        )
+        self.gate_bias = self.param(
+            "gate_bias", torch_uniform_init(self.num_tasks), (e * co,)
+        )
+        if self.conv_type == "normal":
+            self.bn = BatchNorm3d(co, momentum=self.bn_momentum, eps=self.bn_eps)
+        elif self.conv_type != "final":
+            raise ValueError(f"conv_type must be 'normal' or 'final', got {self.conv_type}")
+
+    def gate(self, task_emb: jax.Array) -> jax.Array:
+        """(N, T) one-hot -> (N, E, Co) softmaxed gate weights (fp32)."""
+        logits = task_emb.astype(jnp.float32) @ self.gate_kernel + self.gate_bias
+        return gate_logits_to_weights(logits, self.num_experts, self.out_chan)
+
+    def experts(self) -> ExpertKernels:
+        return ExpertKernels(self.w5, self.w3, self.w1, self.wa3, self.wa5)
+
+    def __call__(self, x: jax.Array, task_emb: jax.Array, *, train: bool) -> jax.Array:
+        g = self.gate(task_emb)
+        ek = self.experts()
+        if self.train_impl == "merged":
+            y = mode_conv_merged(
+                x, ek, g, kernel_size=self.kernel_size, compute_dtype=self.compute_dtype
+            )
+        else:
+            y = mode_conv_expert_sum(x, ek, g, compute_dtype=self.compute_dtype)
+        if self.conv_type == "normal":
+            y = self.bn(y, train=train)
+            y = nn.relu(y)
+        return y
+
+
+class MoDESubNet2Conv(nn.Module):
+    """Two stacked k=5 MoDE convs (reference MoDESubNet2Conv, RepMode.py:111-120)."""
+
+    num_experts: int
+    num_tasks: int
+    n_in: int
+    n_out: int
+    cfg: ModelConfig
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, task_emb, *, train: bool):
+        common = dict(
+            num_experts=self.num_experts,
+            num_tasks=self.num_tasks,
+            kernel_size=self.cfg.kernel_size,
+            bn_momentum=self.cfg.bn_momentum,
+            bn_eps=self.cfg.bn_eps,
+            compute_dtype=self.compute_dtype,
+            train_impl=self.cfg.train_impl,
+        )
+        x = MoDEConv(in_chan=self.n_in, out_chan=self.n_out, name="conv1", **common)(
+            x, task_emb, train=train
+        )
+        x = MoDEConv(in_chan=self.n_out, out_chan=self.n_out, name="conv2", **common)(
+            x, task_emb, train=train
+        )
+        return x
+
+
+class MoDEEncoderBlock(nn.Module):
+    """MoDE double conv -> skip, then strided conv+BN+ReLU downsample
+    (reference MoDEEncoderBlock, RepMode.py:74-89)."""
+
+    num_experts: int
+    num_tasks: int
+    in_chan: int
+    out_chan: int
+    cfg: ModelConfig
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, task_emb, *, train: bool):
+        x_skip = MoDESubNet2Conv(
+            self.num_experts, self.num_tasks, self.in_chan, self.out_chan,
+            self.cfg, self.compute_dtype, name="conv_more",
+        )(x, task_emb, train=train)
+        w_down = self.param(
+            "down_w", torch_uniform_init(self.out_chan * 8),
+            (2, 2, 2, self.out_chan, self.out_chan),
+        )
+        x = downsample2x_conv(x_skip, w_down, compute_dtype=self.compute_dtype)
+        x = BatchNorm3d(
+            self.out_chan, momentum=self.cfg.bn_momentum, eps=self.cfg.bn_eps,
+            name="down_bn",
+        )(x, train=train)
+        x = nn.relu(x)
+        return x, x_skip
+
+
+class MoDEDecoderBlock(nn.Module):
+    """Transposed-conv upsample + BN + ReLU, concat skip, MoDE double conv
+    (reference MoDEDecoderBlock, RepMode.py:92-108)."""
+
+    num_experts: int
+    num_tasks: int
+    in_chan: int
+    out_chan: int
+    cfg: ModelConfig
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, x_skip, task_emb, *, train: bool):
+        # torch ConvTranspose3d fan_in = out_chan * k^3 (weight dim 1)
+        w_up = self.param(
+            "up_w", torch_uniform_init(self.out_chan * 8),
+            (2, 2, 2, self.in_chan, self.out_chan),
+        )
+        x = upsample2x_convt(x, w_up, compute_dtype=self.compute_dtype)
+        x = BatchNorm3d(
+            self.out_chan, momentum=self.cfg.bn_momentum, eps=self.cfg.bn_eps,
+            name="up_bn",
+        )(x, train=train)
+        x = nn.relu(x)
+        x = jnp.concatenate([x_skip, x], axis=-1)  # skip first (RepMode.py:106)
+        x = MoDESubNet2Conv(
+            self.num_experts, self.num_tasks, self.in_chan, self.out_chan,
+            self.cfg, self.compute_dtype, name="conv_less",
+        )(x, task_emb, train=train)
+        return x
+
+
+class RepModeNet(nn.Module):
+    """Task-conditioned MoDE U-Net (reference Net, RepMode.py:8-71)."""
+
+    cfg: ModelConfig
+    num_tasks: int
+    compute_dtype: str = "float32"  # 'bfloat16' for the AMP-equivalent policy
+
+    def _cdt(self) -> Optional[jnp.dtype]:
+        return None if self.compute_dtype == "float32" else jnp.dtype(self.compute_dtype)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, task_id: jax.Array, *, train: bool = True) -> jax.Array:
+        """x: (N, D, H, W, Cin) fp32; task_id: (N,) int32 -> (N, D, H, W, Cout) fp32."""
+        cfg = self.cfg
+        cdt = self._cdt()
+        e, t = cfg.num_experts, self.num_tasks
+        c = cfg.in_channels * cfg.mult_chan  # 32
+
+        # one-hot task embedding (RepMode.py:44-49)
+        task_emb = jax.nn.one_hot(task_id, t, dtype=jnp.float32)
+
+        chans = [c * (2**i) for i in range(cfg.depth + 1)]  # [32,64,128,256,512]
+
+        # encoder (RepMode.py:56-59)
+        skips = []
+        in_ch = cfg.in_channels
+        for i in range(cfg.depth):
+            x, x_skip = MoDEEncoderBlock(
+                e, t, in_ch, chans[i], cfg, cdt, name=f"encoder_block{i + 1}"
+            )(x, task_emb, train=train)
+            skips.append(x_skip)
+            in_ch = chans[i]
+
+        # bottleneck (RepMode.py:33,62)
+        x = MoDESubNet2Conv(
+            e, t, chans[cfg.depth - 1], chans[cfg.depth], cfg, cdt, name="bottle_block"
+        )(x, task_emb, train=train)
+
+        # decoder (RepMode.py:65-68)
+        for i in range(cfg.depth, 0, -1):
+            x = MoDEDecoderBlock(
+                e, t, chans[i], chans[i - 1], cfg, cdt, name=f"decoder_block{i}"
+            )(x, skips[i - 1], task_emb, train=train)
+
+        # final gate-only conv, no BN/ReLU (RepMode.py:42,150-151)
+        x = MoDEConv(
+            num_experts=e,
+            num_tasks=t,
+            in_chan=c,
+            out_chan=cfg.out_channels,
+            kernel_size=cfg.kernel_size,
+            conv_type="final",
+            compute_dtype=cdt,
+            train_impl=cfg.train_impl,
+            name="conv_out",
+        )(x, task_emb, train=train)
+        return x

@@ -1,0 +1,106 @@
+"""3D conv primitives, NDHWC layout (channels on the 128-lane axis).
+
+TPU-first choices vs the reference (fnet/nn_modules/RepMode.py):
+  * NDHWC / DHWIO dimension numbers: channels-last keeps C on the vector
+    lanes, which is what XLA:TPU tiles onto the MXU for convolutions.
+  * The k=2,s=2 down/upsample convs (RepMode.py:80-84, 97-101) have
+    non-overlapping windows, so they are expressed as exact reshape+einsum
+    (pure MXU matmuls) instead of general convolutions.
+  * bf16 compute with fp32 accumulation (preferred_element_type) replaces
+    CUDA AMP autocast (fnet/fnet_model.py:104-113).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# NDHWC activations, DHWIO kernels.
+DIMNUMS = lax.conv_dimension_numbers(
+    (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
+)
+
+
+def _cast(x, dtype):
+    return x if dtype is None else x.astype(dtype)
+
+
+def conv3d_same(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    compute_dtype=None,
+    accum_dtype=jnp.float32,
+    feature_group_count: int = 1,
+) -> jax.Array:
+    """'same'-padded stride-1 3D conv. x: (N,D,H,W,Ci), w: (kD,kH,kW,Ci,Co)."""
+    x = _cast(x, compute_dtype)
+    w = _cast(w, compute_dtype)
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=DIMNUMS,
+        feature_group_count=feature_group_count,
+        preferred_element_type=accum_dtype,
+    )
+
+
+def downsample2x_conv(x: jax.Array, w: jax.Array, *, compute_dtype=None) -> jax.Array:
+    """Stride-2 kernel-2 conv (reference Conv3d(k=2,s=2,bias=False), RepMode.py:81).
+
+    Non-overlapping 2x2x2 windows -> reshape into blocks and contract on the
+    MXU: out[n,d,h,w,o] = sum_{abci} x[n,2d+a,2h+b,2w+c,i] * w[a,b,c,i,o].
+    x: (N,2D,2H,2W,Ci), w: (2,2,2,Ci,Co) -> (N,D,H,W,Co), fp32.
+    """
+    n, d2, h2, w2, ci = x.shape
+    d, h, wi = d2 // 2, h2 // 2, w2 // 2
+    co = w.shape[-1]
+    x = _cast(x, compute_dtype)
+    w = _cast(w, compute_dtype)
+    xb = x.reshape(n, d, 2, h, 2, wi, 2, ci)
+    # (N,D,H,W, 2,2,2,Ci) @ (2,2,2,Ci,Co)
+    xb = xb.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(n, d, h, wi, 8 * ci)
+    wm = w.reshape(8 * ci, co)
+    return jnp.einsum(
+        "ndhwk,ko->ndhwo", xb, wm, preferred_element_type=jnp.float32
+    )
+
+
+def upsample2x_convt(x: jax.Array, w: jax.Array, *, compute_dtype=None) -> jax.Array:
+    """Stride-2 kernel-2 transposed conv (reference ConvTranspose3d, RepMode.py:98).
+
+    With k=s=2 each output voxel receives exactly one kernel tap:
+      out[n,2d+a,2h+b,2w+c,o] = sum_i x[n,d,h,w,i] * w[a,b,c,i,o]
+    so the op is a matmul followed by a block interleave (no overlap-add).
+    x: (N,D,H,W,Ci), w: (2,2,2,Ci,Co) -> (N,2D,2H,2W,Co), fp32.
+    """
+    n, d, h, wi, ci = x.shape
+    co = w.shape[-1]
+    x = _cast(x, compute_dtype)
+    w = _cast(w, compute_dtype)
+    wm = w.reshape(8, ci, co).transpose(1, 0, 2).reshape(ci, 8 * co)
+    y = jnp.einsum("ndhwi,ik->ndhwk", x, wm, preferred_element_type=jnp.float32)
+    y = y.reshape(n, d, h, wi, 2, 2, 2, co)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return y.reshape(n, 2 * d, 2 * h, 2 * wi, co)
+
+
+def avg_pool_same(x: jax.Array, k: int) -> jax.Array:
+    """k^3 average pool, stride 1, zero ('same') padding, count_include_pad.
+
+    Matches the reference's fixed avg-pool expert kernel of value 1/k^3
+    convolved with 'same' zero padding (RepMode.py:139-142,161-163): border
+    windows divide by k^3 including the zero padding.
+    """
+    s = lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        lax.add,
+        window_dimensions=(1, k, k, k, 1),
+        window_strides=(1, 1, 1, 1, 1),
+        padding="SAME",
+    )
+    return s * jnp.asarray(1.0 / k**3, x.dtype)

@@ -1,0 +1,172 @@
+"""Mixture-of-Diverse-Experts (MoDE) convolution math.
+
+The reference unit (fnet/nn_modules/RepMode.py:123-214) holds 5 experts —
+learnable 5^3 / 3^3 / 1^3 convs plus two fixed avg-pool (3^3, 5^3) branches
+each composed with a learnable 1^3 conv — and a task-conditioned gate that
+produces per-(sample, expert, out_channel) weights. At forward time the
+reference merges the experts into one 5^3 kernel per *sample* (routing(),
+RepMode.py:171-192) and then runs a Python loop of per-sample F.conv3d calls
+(RepMode.py:204-208).
+
+TPU-native formulation. Three exact-equivalent execution strategies:
+
+  expert_sum   Convolution is linear in its weights and the gate scales
+               per-output-channel, so
+                   conv(x_n, sum_e g[n,e,:] (.) K_e) =
+                   sum_e g[n,e,:] (.) conv(x_n, K_e).
+               We therefore run 5 *full-batch* convs with shared kernels at
+               their natural sizes (125+27+3 taps + 2 cheap pools vs 125 for
+               the merged kernel) and take the gated combination. Every conv
+               is a large, static-shaped batch conv that XLA tiles straight
+               onto the MXU — no per-sample kernels, no grouped conv. This is
+               the training path.
+
+  merged       Build the per-sample merged 5^3 kernel (vectorized routing:
+               one einsum over the expert bank, replacing the Python loop at
+               RepMode.py:183-190) and run a vmapped conv (XLA lowers to a
+               batch-grouped conv). Kept for parity testing and benchmarking.
+
+  single       One merged kernel for a task-uniform batch -> a single plain
+               conv (the reference eval path, RepMode.py:210). Used by the
+               re-parameterized inference net (models/reparam.py), where the
+               merge happens once per task for the whole network.
+
+Expert order in the gate matches the reference: [conv5, conv3, conv1,
+avg3(.)conv1, avg5(.)conv1] (RepMode.py:184-188).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from repmode_tpu.ops.conv3d import avg_pool_same, conv3d_same
+
+
+class ExpertKernels(NamedTuple):
+    """Learnable expert kernels, DHWIO layout.
+
+    w5: (5,5,5,Ci,Co); w3: (3,3,3,Ci,Co); w1, wa3, wa5: (1,1,1,Ci,Co).
+    The fixed avg-pool factors (1/27 over 3^3, 1/125 over 5^3; reference
+    buffers at RepMode.py:139-142) are constants and never stored.
+    """
+
+    w5: jax.Array
+    w3: jax.Array
+    w1: jax.Array
+    wa3: jax.Array  # 1^3 conv composed with fixed 3^3 avg pool
+    wa5: jax.Array  # 1^3 conv composed with fixed 5^3 avg pool
+
+
+def gate_logits_to_weights(logits: jax.Array, num_experts: int, out_chan: int) -> jax.Array:
+    """(N, E*Co) gate logits -> (N, E, Co) softmax over the expert axis.
+
+    Matches reference g.view(N, E, Co) + Softmax(dim=1) (RepMode.py:198-200).
+    Softmax runs in fp32 regardless of compute dtype.
+    """
+    n = logits.shape[0]
+    g = logits.reshape(n, num_experts, out_chan).astype(jnp.float32)
+    return jax.nn.softmax(g, axis=1)
+
+
+def _pad_to(k: jax.Array, size: int) -> jax.Array:
+    """Zero-pad a DHWIO kernel spatially to size^3 (reference trans_kernel, RepMode.py:165-169)."""
+    pd = (size - k.shape[0]) // 2
+    ph = (size - k.shape[1]) // 2
+    pw = (size - k.shape[2]) // 2
+    return jnp.pad(k, ((pd, pd), (ph, ph), (pw, pw), (0, 0), (0, 0)))
+
+
+def expert_bank(ek: ExpertKernels, kernel_size: int = 5) -> jax.Array:
+    """Stack the 5 experts as full-size kernels: (E, k,k,k, Ci, Co).
+
+    Composes the avg-pool branches into dense kernels exactly as the
+    reference routing() does via einsum('oidhw,dhw->oidhw', conv1, pool)
+    (RepMode.py:176-180): the 1^3 conv broadcast over the pool support.
+    """
+    k5 = _pad_to(ek.w5, kernel_size)
+    k3 = _pad_to(ek.w3, kernel_size)
+    k1 = _pad_to(ek.w1, kernel_size)
+    ones3 = jnp.full((3, 3, 3, 1, 1), 1.0 / 27.0, ek.wa3.dtype)
+    ones5 = jnp.full((5, 5, 5, 1, 1), 1.0 / 125.0, ek.wa5.dtype)
+    ka3 = _pad_to(ones3 * ek.wa3, kernel_size)
+    ka5 = _pad_to(ones5 * ek.wa5, kernel_size)
+    return jnp.stack([k5, k3, k1, ka3, ka5], axis=0)
+
+
+def merge_kernels(ek: ExpertKernels, g: jax.Array, kernel_size: int = 5) -> jax.Array:
+    """Vectorized routing: per-sample merged kernels.
+
+    g: (N, E, Co) gate weights -> (N, k,k,k, Ci, Co). One einsum replaces the
+    reference's per-sample Python loop of 5 einsums (RepMode.py:183-190).
+    """
+    bank = expert_bank(ek, kernel_size)  # (E,k,k,k,Ci,Co)
+    return jnp.einsum("neo,edhwio->ndhwio", g, bank)
+
+
+def mode_conv_expert_sum(
+    x: jax.Array,
+    ek: ExpertKernels,
+    g: jax.Array,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """Training-path MoDE conv: 5 shared-kernel batch convs + gated combine.
+
+    x: (N,D,H,W,Ci), g: (N,E,Co) -> (N,D,H,W,Co) fp32.
+    Exactly equals conv(x_n, merged_kernel_n) by linearity (see module doc).
+    """
+
+    def cv(inp, w):
+        return conv3d_same(inp, w, compute_dtype=compute_dtype)
+
+    # The three 1^3 branches are channel matmuls over x, avg3(x), avg5(x).
+    pooled3 = avg_pool_same(x, 3)
+    pooled5 = avg_pool_same(x, 5)
+    y5 = cv(x, ek.w5)
+    y3 = cv(x, ek.w3)
+    yc1 = cv(x, ek.w1)
+    ya3 = cv(pooled3, ek.wa3)
+    ya5 = cv(pooled5, ek.wa5)
+
+    gf = g.astype(jnp.float32)
+
+    def gw(e):  # (N,Co) -> (N,1,1,1,Co)
+        return gf[:, e][:, None, None, None, :]
+
+    return (
+        gw(0) * y5
+        + gw(1) * y3
+        + gw(2) * yc1
+        + gw(3) * ya3
+        + gw(4) * ya5
+    )
+
+
+def mode_conv_merged(
+    x: jax.Array,
+    ek: ExpertKernels,
+    g: jax.Array,
+    *,
+    kernel_size: int = 5,
+    compute_dtype=None,
+) -> jax.Array:
+    """Per-sample merged-kernel conv (vmapped; XLA lowers to grouped conv)."""
+    w = merge_kernels(ek, g, kernel_size)  # (N,k,k,k,Ci,Co)
+
+    def one(xi, wi):
+        return conv3d_same(xi[None], wi, compute_dtype=compute_dtype)[0]
+
+    return jax.vmap(one)(x, w)
+
+
+def mode_conv_single(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """Task-uniform batch: one merged kernel for everyone (RepMode.py:210)."""
+    return conv3d_same(x, w, compute_dtype=compute_dtype)
