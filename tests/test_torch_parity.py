@@ -1,0 +1,135 @@
+"""Numeric parity against goldens captured from the PyTorch reference.
+
+Goldens (tests/goldens/repmode_small.npz) were produced by tools/gen_goldens.py
+running the actual reference net (fnet/nn_modules/RepMode.py) on a tiny config:
+mult_chan=2, 3 tasks, input (2,1,16,16,16). These tests are the ground truth
+that the TPU-native rebuild computes the same function:
+
+  * train-mode forward (batch-stat BN + per-sample merged kernels,
+    RepMode.py:204-208) — our expert-sum path must match.
+  * eval-mode forward (running-stat BN + single merged kernel, RepMode.py:210)
+    — both the MoDE net in eval mode and the re-parameterized plain net.
+  * BatchNorm running-stat updates after one train step.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from repmode_tpu.compat.torch_import import convert_state_dict
+from repmode_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from repmode_tpu.models import build_model
+from repmode_tpu.models.reparam import plain_forward, reparameterize
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "repmode_small.npz")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("goldens not generated (tools/gen_goldens.py)")
+    z = np.load(GOLDEN)
+    state = {k[3:]: z[k] for k in z.files if k.startswith("sd.")}
+    return z, convert_state_dict(state)
+
+
+@pytest.fixture(scope="module")
+def setup(golden):
+    z, variables = golden
+    cfg = Config(
+        model=ModelConfig(mult_chan=2, depth=4),
+        data=DataConfig(adopted_datasets=("task0", "task1", "task2")),
+        # parity requires exact fp32 (training default is bf16-compute)
+        train=TrainConfig(compute_dtype="float32"),
+    )
+    net = build_model(cfg)
+    x = jnp.asarray(np.transpose(z["x"], (0, 2, 3, 4, 1)))  # NCDHW -> NDHWC
+    variables = jax.tree.map(jnp.asarray, variables)
+    return z, cfg, net, variables, x
+
+
+def to_nchw(y):
+    return np.transpose(np.asarray(y), (0, 4, 1, 2, 3))
+
+
+def test_eval_forward_parity(setup):
+    z, cfg, net, variables, x = setup
+    t = jnp.asarray(z["tasks_uniform"].astype(np.int32))
+    apply = jax.jit(functools.partial(net.apply, train=False))
+    y = apply(variables, x, t)
+    np.testing.assert_allclose(to_nchw(y), z["y_eval"], rtol=1e-4, atol=1e-4)
+
+
+def test_train_forward_parity(setup):
+    """Expert-sum path vs reference per-sample merged kernels, mixed tasks."""
+    z, cfg, net, variables, x = setup
+    t = jnp.asarray(z["tasks_mixed"].astype(np.int32))
+    # train forward needs pristine (init) running stats; output doesn't use them
+    apply = jax.jit(
+        functools.partial(net.apply, train=True, mutable=["batch_stats"])
+    )
+    y, _ = apply(variables, x, t)
+    np.testing.assert_allclose(to_nchw(y), z["y_train"], rtol=1e-3, atol=1e-4)
+
+
+def test_merged_impl_train_parity(setup):
+    """The literal per-sample merged-kernel path must also match."""
+    z, cfg, net, variables, x = setup
+    cfg2 = cfg.replace(
+        model=cfg.model.__class__(mult_chan=2, depth=4, train_impl="merged")
+    )
+    net2 = build_model(cfg2)
+    t = jnp.asarray(z["tasks_mixed"].astype(np.int32))
+    apply = jax.jit(functools.partial(net2.apply, train=True, mutable=["batch_stats"]))
+    y, _ = apply(variables, x, t)
+    np.testing.assert_allclose(to_nchw(y), z["y_train"], rtol=1e-3, atol=1e-4)
+
+
+def test_bn_running_stats_update_parity(setup):
+    """One train-mode forward from fresh (0,1) stats must reproduce the
+    reference's updated running stats (torch momentum=0.1, unbiased var)."""
+    z, cfg, net, variables, x = setup
+    t = jnp.asarray(z["tasks_mixed"].astype(np.int32))
+    fresh_stats = jax.tree.map(
+        lambda a: jnp.zeros_like(a) if a.ndim == 1 else a, variables["batch_stats"]
+    )
+    # means -> 0, vars -> 1: rebuild with proper init values
+    def fresh(path_leaf):
+        return path_leaf
+
+    def make_fresh(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = make_fresh(v)
+            else:
+                out[k] = jnp.zeros_like(v) if k == "mean" else jnp.ones_like(v)
+        return out
+
+    fresh_vars = dict(variables, batch_stats=make_fresh(variables["batch_stats"]))
+    apply = jax.jit(functools.partial(net.apply, train=True, mutable=["batch_stats"]))
+    _, mut = apply(fresh_vars, x, t)
+
+    ref_stats = variables["batch_stats"]  # captured AFTER the reference train fwd
+    flat_new = jax.tree_util.tree_flatten_with_path(mut["batch_stats"])[0]
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_stats)[0]
+    assert len(flat_new) == len(flat_ref) and len(flat_new) > 0
+    for (pa, a), (pb, b) in zip(flat_new, flat_ref):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+def test_reparam_matches_torch_eval(setup):
+    z, cfg, net, variables, x = setup
+    task = int(z["tasks_uniform"][0])
+    plain = reparameterize(variables, cfg.model, cfg.num_tasks, task)
+    fwd = jax.jit(functools.partial(plain_forward, cfg=cfg.model))
+    y = fwd(plain, x)
+    np.testing.assert_allclose(to_nchw(y), z["y_eval"], rtol=1e-4, atol=1e-4)
