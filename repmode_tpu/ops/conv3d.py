@@ -88,19 +88,31 @@ def upsample2x_convt(x: jax.Array, w: jax.Array, *, compute_dtype=None) -> jax.A
     return y.reshape(n, 2 * d, 2 * h, 2 * wi, co)
 
 
+def _box1d(x: jax.Array, k: int, axis: int) -> jax.Array:
+    """Sum over a length-k window along `axis`, zero 'same' padding.
+
+    Expressed as k shifted-slice adds (k is 3 or 5): pure elementwise adds
+    that XLA fuses, fully differentiable (unlike a generic lax.reduce_window
+    reducer, which has no reverse-mode rule).
+    """
+    lo = (k - 1) // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (lo, k - 1 - lo)
+    xp = jnp.pad(x, pad)
+    n = x.shape[axis]
+    out = lax.slice_in_dim(xp, 0, n, axis=axis)
+    for i in range(1, k):
+        out = out + lax.slice_in_dim(xp, i, i + n, axis=axis)
+    return out
+
+
 def avg_pool_same(x: jax.Array, k: int) -> jax.Array:
     """k^3 average pool, stride 1, zero ('same') padding, count_include_pad.
 
     Matches the reference's fixed avg-pool expert kernel of value 1/k^3
     convolved with 'same' zero padding (RepMode.py:139-142,161-163): border
-    windows divide by k^3 including the zero padding.
+    windows divide by k^3 including the zero padding. Separable box filter
+    over D, H, W.
     """
-    s = lax.reduce_window(
-        x,
-        jnp.zeros((), x.dtype),
-        lax.add,
-        window_dimensions=(1, k, k, k, 1),
-        window_strides=(1, 1, 1, 1, 1),
-        padding="SAME",
-    )
-    return s * jnp.asarray(1.0 / k**3, x.dtype)
+    s = _box1d(_box1d(_box1d(x, k, 1), k, 2), k, 3)
+    return s * jnp.asarray(1.0 / k**3, s.dtype)
