@@ -1,0 +1,76 @@
+"""Experiment tracking: local JSONL always, wandb when available.
+
+The reference depends hard on wandb (main.py:79-108,168,180; fnet_model.py:123).
+Here tracking is a thin seam: every log_dict/summary lands in
+<log_dir>/metrics.jsonl (machine-readable, survives offline runs), and is
+mirrored to wandb if the package is installed and not disabled — matching the
+reference's offline toggle (--debugging, main.py:57-60).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class Tracker:
+    def __init__(
+        self,
+        log_dir: Optional[str] = None,
+        project: str = "SSP",
+        run_name: Optional[str] = None,
+        config: Optional[dict] = None,
+        tags=(),
+        offline: bool = False,
+        run_id: Optional[str] = None,
+    ):
+        self._jsonl = None
+        if log_dir is not None:
+            os.makedirs(log_dir, exist_ok=True)
+            self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self.summary: Dict = {}
+        self._wandb = None
+        if not offline:
+            try:
+                import wandb  # optional
+
+                if run_id is not None:
+                    os.environ["WANDB_RESUME"] = "must"
+                self._wandb = wandb.init(
+                    project=project,
+                    name=run_name,
+                    tags=list(tags) or None,
+                    config=config,
+                    id=run_id,
+                )
+            except Exception:
+                self._wandb = None
+
+    def log(self, d: Dict):
+        if self._jsonl is not None:
+            rec = {"_ts": time.time()}
+            rec.update({k: v for k, v in d.items() if _scalar(v)})
+            self._jsonl.write(json.dumps(rec) + "\n")
+            self._jsonl.flush()
+        if self._wandb is not None:
+            self._wandb.log(d)
+
+    def set_summary(self, key: str, value):
+        self.summary[key] = value
+        if self._wandb is not None:
+            self._wandb.summary[key] = value
+
+    def finish(self):
+        if self._jsonl is not None:
+            self._jsonl.close()
+            self._jsonl = None
+        if self._wandb is not None:
+            self._wandb.finish(quiet=True)
+
+
+def _scalar(v) -> bool:
+    return isinstance(v, (int, float, str, bool)) or (
+        hasattr(v, "ndim") and getattr(v, "ndim", 1) == 0
+    )
