@@ -33,7 +33,7 @@ VOL_SHAPE = (32, 624, 924)  # reference full-volume size (SURVEY.md §3.3)
 def main():
     from repmode_tpu.config import Config, EvalConfig, TrainConfig
     from repmode_tpu.infer.predict import TiledPredictor
-    from repmode_tpu.models.reparam import reparameterize
+    from repmode_tpu.models.reparam import make_inference
     from repmode_tpu.train.state import create_train_state
 
     cfg = Config(
@@ -43,7 +43,8 @@ def main():
 
     dev = jax.devices()[0]
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    plain = reparameterize(state.variables, cfg.model, cfg.num_tasks, task_id=0)
+    prepare, _ = make_inference(cfg)
+    plain = prepare(state.variables, 0)
     plain = jax.device_put(plain, dev)
 
     rng = np.random.default_rng(0)
@@ -51,18 +52,20 @@ def main():
 
     predictor = TiledPredictor(cfg)
 
-    # compile + warmup
+    # compile + warmup (fetch an element: block_until_ready is unreliable on
+    # the tunneled platform)
     out = predictor(plain, vol)
-    out.block_until_ready()
+    _ = float(out[0, 0, 0])
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = predictor(plain, vol)
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-
-    best = min(times)
+    # chain volumes through the predictor (output feeds next input) so the
+    # timed region is forced to execute sequentially; one final fetch syncs.
+    n = 3
+    t0 = time.perf_counter()
+    cur = out
+    for _ in range(n):
+        cur = predictor(plain, cur)
+    _ = float(cur[0, 0, 0])
+    best = (time.perf_counter() - t0) / n
     voxels = float(np.prod(VOL_SHAPE))
     vps = voxels / best
     print(

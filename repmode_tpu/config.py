@@ -52,6 +52,10 @@ class ModelConfig:
     # auto-selected 'single' path when the batch is task-uniform (eval,
     # RepMode.py:210 semantics).
     train_impl: str = "expert_sum"
+    # run narrow-channel expert convs in the space-to-depth domain during
+    # training (ops/s2d.py; exact, differentiable). Off by default pending
+    # on-chip benchmarking of the train step.
+    train_s2d: bool = False
     bn_momentum: float = 0.1     # torch BatchNorm3d default
     bn_eps: float = 1e-5
 
@@ -86,6 +90,8 @@ class EvalConfig:
     gaussian_sigma_scale: float = 1 / 8  # fnet_model.py:242
     save_test_preds: bool = False
     save_test_signals_and_targets: bool = False
+    # space-to-depth execution of narrow-channel levels (exact; ~2x on v5e)
+    s2d: bool = True
 
 
 @dataclass(frozen=True)

@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from repmode_tpu.config import Config
-from repmode_tpu.models.reparam import plain_forward
 from repmode_tpu.ops.gaussian import gaussian_importance_map
 from repmode_tpu.infer.tiling import compute_patch_starts
 
@@ -47,14 +46,11 @@ class TiledPredictor:
         self.patch_size = tuple(cfg.eval.patch_size)
         self.overlap = cfg.eval.overlap
         self.batch = cfg.train.batch_size_eval
-        cdt = (
-            None
-            if cfg.train.compute_dtype == "float32"
-            else jnp.dtype(cfg.train.compute_dtype)
-        )
-        self._forward = forward_fn or functools.partial(
-            plain_forward, cfg=cfg.model, compute_dtype=cdt
-        )
+        if forward_fn is None:
+            from repmode_tpu.models.reparam import make_inference
+
+            _, forward_fn = make_inference(cfg)  # honors cfg.eval.s2d
+        self._forward = forward_fn
         self._gauss = jnp.asarray(
             gaussian_importance_map(self.patch_size, cfg.eval.gaussian_sigma_scale)
         )

@@ -31,6 +31,15 @@ from repmode_tpu.ops.conv3d import (
     upsample2x_convt,
 )
 from repmode_tpu.ops.mode import ExpertKernels, expert_bank, gate_logits_to_weights
+from repmode_tpu.ops.s2d import (
+    conv3d_same_s2d_domain,
+    depth_to_space_hw,
+    downsample_s2d_domain,
+    s2d_bias,
+    s2d_conv_kernel,
+    s2d_down_kernel,
+    space_to_depth_hw,
+)
 
 Params = Dict[str, Any]
 
@@ -115,6 +124,152 @@ def reparameterize_all_tasks(
     """Stack per-task plain params along a leading task axis (for vmap/scan)."""
     trees = [reparameterize(variables, cfg, num_tasks, t) for t in range(num_tasks)]
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+
+# ----------------------------------------------------------------------
+# Space-to-depth execution (ops/s2d.py): narrow-channel levels run their
+# convs with 2x2 H,W phases packed into channels, filling the MXU lanes.
+# Measured on v5e: level-1 conv 27.5 -> ~108 TFLOPS. Exact math, different
+# layout — parity-tested against plain_forward.
+# ----------------------------------------------------------------------
+
+def default_s2d_levels(cfg: ModelConfig) -> tuple:
+    """Levels whose channel width under-fills the 128 MXU lanes."""
+    c = cfg.in_channels * cfg.mult_chan
+    return tuple(
+        i for i in range(1, cfg.depth + 1) if c * (2 ** (i - 1)) < 128
+    )
+
+
+def to_s2d_plain(plain: Params, cfg: ModelConfig, s2d_levels: tuple) -> Params:
+    """Transform a reparameterized tree for s2d execution of given levels.
+
+    Runs once per task at re-parameterization time; pure weight reshuffles.
+    Decoder conv1 kernels are split into (skip, upsampled) input halves and
+    s2d-transformed separately because the runtime concatenates two
+    s2d-domain tensors (phase blocks per source, not a global s2d of the
+    native concat).
+    """
+    out = dict(plain)
+    for i in s2d_levels:
+        enc = dict(plain[f"encoder_block{i}"])
+        enc["conv1_w"] = s2d_conv_kernel(enc["conv1_w"])
+        enc["conv1_b"] = s2d_bias(enc["conv1_b"])
+        enc["conv2_w"] = s2d_conv_kernel(enc["conv2_w"])
+        enc["conv2_b"] = s2d_bias(enc["conv2_b"])
+        enc["down_w"] = s2d_down_kernel(enc["down_w"])
+        out[f"encoder_block{i}"] = enc
+
+        dec = dict(plain[f"decoder_block{i}"])
+        w1 = dec["conv1_w"]
+        half = w1.shape[3] // 2
+        dec["conv1_w"] = jnp.concatenate(
+            [s2d_conv_kernel(w1[:, :, :, :half]), s2d_conv_kernel(w1[:, :, :, half:])],
+            axis=3,
+        )
+        dec["conv1_b"] = s2d_bias(dec["conv1_b"])
+        dec["conv2_w"] = s2d_conv_kernel(dec["conv2_w"])
+        dec["conv2_b"] = s2d_bias(dec["conv2_b"])
+        out[f"decoder_block{i}"] = dec
+
+    if 1 in s2d_levels:
+        out["conv_out_w"] = s2d_conv_kernel(plain["conv_out_w"])
+    return out
+
+
+def plain_forward_s2d(
+    plain: Params,
+    x: jax.Array,
+    cfg: ModelConfig,
+    s2d_levels: tuple,
+    *,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Run the re-parameterized net with s2d execution on `s2d_levels`.
+
+    `plain` must come from to_s2d_plain with the same levels. Produces the
+    same function as plain_forward (fp reassociation aside).
+    """
+    cdt = compute_dtype
+    s2d = set(s2d_levels)
+
+    def cbr(h, w, b):
+        return jax.nn.relu(conv3d_same(h, w, compute_dtype=cdt) + b)
+
+    def run_subnet(h, blk):
+        return cbr(cbr(h, blk["conv1_w"], blk["conv1_b"]), blk["conv2_w"], blk["conv2_b"])
+
+    skips = {}
+    h = x
+    for i in range(1, cfg.depth + 1):
+        blk = plain[f"encoder_block{i}"]
+        if i in s2d:
+            h2 = space_to_depth_hw(h)
+            skip2 = run_subnet(h2, blk)  # s2d-domain kernels: same conv call
+            skips[i] = skip2
+            h = jax.nn.relu(
+                downsample_s2d_domain(skip2, blk["down_w"], compute_dtype=cdt)
+                + blk["down_b"]
+            )
+        else:
+            skip = run_subnet(h, blk)
+            skips[i] = skip
+            h = jax.nn.relu(
+                downsample2x_conv(skip, blk["down_w"], compute_dtype=cdt)
+                + blk["down_b"]
+            )
+
+    h = run_subnet(h, plain["bottle_block"])
+
+    for i in range(cfg.depth, 0, -1):
+        blk = plain[f"decoder_block{i}"]
+        up = jax.nn.relu(
+            upsample2x_convt(h, blk["up_w"], compute_dtype=cdt) + blk["up_b"]
+        )
+        if i in s2d:
+            cat = jnp.concatenate([skips[i], space_to_depth_hw(up)], axis=-1)
+            h2 = run_subnet(cat, blk)
+            if i == 1 and 1 in s2d:
+                h = h2  # stay in s2d domain for conv_out
+            else:
+                h = depth_to_space_hw(h2)
+        else:
+            h = run_subnet(jnp.concatenate([skips[i], up], axis=-1), blk)
+
+    if 1 in s2d:
+        y2 = conv3d_same(h, plain["conv_out_w"], compute_dtype=cdt)
+        return depth_to_space_hw(y2)
+    return conv3d_same(h, plain["conv_out_w"], compute_dtype=cdt)
+
+
+def make_inference(cfg) -> tuple:
+    """(prepare, forward) pair consistent with cfg (incl. the s2d switch).
+
+    prepare(variables, task_id) -> inference params (reparam [+ s2d]);
+    forward(plain, x) -> prediction. Used by the eval loop and benchmarks.
+    `cfg` is the top-level Config.
+    """
+    import functools
+
+    levels = default_s2d_levels(cfg.model) if cfg.eval.s2d else ()
+    cdt = (
+        None
+        if cfg.train.compute_dtype == "float32"
+        else jnp.dtype(cfg.train.compute_dtype)
+    )
+    num_tasks = cfg.num_tasks
+
+    def prepare(variables, task_id):
+        p = reparameterize(variables, cfg.model, num_tasks, task_id)
+        return to_s2d_plain(p, cfg.model, levels) if levels else p
+
+    if levels:
+        forward = functools.partial(
+            plain_forward_s2d, cfg=cfg.model, s2d_levels=levels, compute_dtype=cdt
+        )
+    else:
+        forward = functools.partial(plain_forward, cfg=cfg.model, compute_dtype=cdt)
+    return prepare, forward
 
 
 def plain_forward(

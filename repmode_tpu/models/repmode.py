@@ -95,6 +95,7 @@ class MoDEConv(nn.Module):
     bn_eps: float = 1e-5
     compute_dtype: Optional[jnp.dtype] = None
     train_impl: str = "expert_sum"
+    s2d: bool = False  # space-to-depth expert convs (narrow-channel levels)
 
     def setup(self):
         ci, co, e = self.in_chan, self.out_chan, self.num_experts
@@ -130,7 +131,9 @@ class MoDEConv(nn.Module):
                 x, ek, g, kernel_size=self.kernel_size, compute_dtype=self.compute_dtype
             )
         else:
-            y = mode_conv_expert_sum(x, ek, g, compute_dtype=self.compute_dtype)
+            y = mode_conv_expert_sum(
+                x, ek, g, compute_dtype=self.compute_dtype, s2d=self.s2d
+            )
         if self.conv_type == "normal":
             y = self.bn(y, train=train)
             y = nn.relu(y)
@@ -157,6 +160,7 @@ class MoDESubNet2Conv(nn.Module):
             bn_eps=self.cfg.bn_eps,
             compute_dtype=self.compute_dtype,
             train_impl=self.cfg.train_impl,
+            s2d=self.cfg.train_s2d and self.n_out < 128,
         )
         x = MoDEConv(in_chan=self.n_in, out_chan=self.n_out, name="conv1", **common)(
             x, task_emb, train=train
@@ -283,6 +287,7 @@ class RepModeNet(nn.Module):
             conv_type="final",
             compute_dtype=cdt,
             train_impl=cfg.train_impl,
+            s2d=cfg.train_s2d,
             name="conv_out",
         )(x, task_emb, train=train)
         return x

@@ -1,0 +1,115 @@
+"""Space-to-depth conv execution for narrow-channel levels.
+
+Motivation (measured on v5e): XLA's conv puts output channels on the MXU's
+128-wide lane axis, so the U-Net's 32/64-channel levels — which carry ~78% of
+the FLOPs — run at a fraction of peak (C=32 5^3 conv: 27.5 TFLOPS). Packing a
+2x2 H,W neighborhood into channels (C -> 4C) fills the lanes: the transformed
+(5,3,3, 4Ci, 4Co) conv reaches ~108 TFLOPS. The transform is exact — weights
+are rearranged with structured zeros, so the s2d conv computes bit-the-same
+contractions (modulo fp reassociation).
+
+Math. s2d: x2[n,d,h',w',(py,px,c)] = x[n,d,2h'+py,2w'+px,c] (phase-major
+channel order). A K-tap 'same' conv along H becomes a 3-tap 'same' conv along
+h' with phase-block weights:
+
+    out[2h'+q] = sum_dy x[2h'+q+dy-ctr] W[dy]
+    with dy = 2*(t-1) + ctr + p - q   (t in {0,1,2}; valid dy in [0,K))
+
+so W2[t, (p,i), (q,o)] = W[2(t-1)+ctr+p-q, i, o] where in-range, else 0.
+Both K=5 (ctr 2) and K=3 (ctr 1) map onto 3 s2d taps. Requires even H and W
+(true for all patch sizes here). Depth is left untransformed — D=32 levels
+keep full z-resolution and 4x channel packing already fills the lanes.
+
+The kernel/bias transforms run once at re-parameterization time; the runtime
+ops are pure conv + reshape/transpose.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from repmode_tpu.ops.conv3d import conv3d_same
+
+
+def space_to_depth_hw(x: jax.Array) -> jax.Array:
+    """(N,D,H,W,C) -> (N,D,H/2,W/2,4C), phase-major: c' = (py*2+px)*C + c."""
+    n, d, h, w, c = x.shape
+    x = x.reshape(n, d, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (n,d,h',w',py,px,c)
+    return x.reshape(n, d, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space_hw(x: jax.Array) -> jax.Array:
+    """Inverse of space_to_depth_hw."""
+    n, d, hh, ww, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, d, hh, ww, 2, 2, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (n,d,h',py,w',px,c)
+    return x.reshape(n, d, hh * 2, ww * 2, c)
+
+
+def _phase_gather(k: int) -> np.ndarray:
+    """G[t,p,q,dy] = 1 iff dy == 2*(t-1) + (k-1)//2 + p - q, dy in [0,k)."""
+    ctr = (k - 1) // 2
+    g = np.zeros((3, 2, 2, k), np.float32)
+    for t in range(3):
+        for p in range(2):
+            for q in range(2):
+                dy = 2 * (t - 1) + ctr + p - q
+                if 0 <= dy < k:
+                    g[t, p, q, dy] = 1.0
+    return g
+
+
+def s2d_conv_kernel(w: jax.Array) -> jax.Array:
+    """(K,K,K,Ci,Co) 'same' kernel -> s2d form (K,3,3,4Ci,4Co), K in {3,5}.
+
+    Depth taps are untouched; H and W taps are folded into phase blocks.
+    Channel order matches space_to_depth_hw (phase-major).
+    """
+    kd, kh, kw, ci, co = w.shape
+    gh = jnp.asarray(_phase_gather(kh))
+    gw = jnp.asarray(_phase_gather(kw))
+    # (t,s) s2d taps; (p,x) input H/W phases; (q,y) output H/W phases.
+    # Output memory order must be z,t,s,(p,x,ci),(q,y,co) — phase-major blocks.
+    w2 = jnp.einsum("tpqd,sxye,zdeio->ztspxiqyo", gh, gw, w)
+    return w2.reshape(kd, 3, 3, 4 * ci, 4 * co)
+
+
+def s2d_down_kernel(w: jax.Array) -> jax.Array:
+    """k=2,s=2 downsample kernel (2,2,2,Ci,Co) -> s2d-domain (2,1,1,4Ci,Co).
+
+    The stride-2 2x2 H,W window of the native op is exactly one s2d position's
+    phase block, so downsampling in the s2d domain is a (2,1,1) conv with
+    stride (2,1,1): out[d2,h',w',o] = sum_{a,b,c,i} x2[2d2+a,h',w',(b,c,i)] W[a,b,c,i,o].
+    """
+    ci, co = w.shape[3], w.shape[4]
+    # (a,b,c,i,o): flattening (b,c,i) row-major == phase-major (b*2+c)*ci + i
+    return w.reshape(2, 4 * ci, co)[:, None, None]
+
+
+def s2d_bias(b: jax.Array) -> jax.Array:
+    """(Co,) -> (4Co,) replicated across the 4 output phases (phase-major)."""
+    return jnp.concatenate([b, b, b, b])
+
+
+def conv3d_same_s2d_domain(x2: jax.Array, w2: jax.Array, *, compute_dtype=None) -> jax.Array:
+    """'same' conv on s2d-domain tensors (the kernel already transformed)."""
+    return conv3d_same(x2, w2, compute_dtype=compute_dtype)
+
+
+def downsample_s2d_domain(x2: jax.Array, w2: jax.Array, *, compute_dtype=None) -> jax.Array:
+    """s2d-domain downsample: (N,D,h',w',4C) -> native next level (N,D/2,h',w',Co)."""
+    from jax import lax
+
+    from repmode_tpu.ops.conv3d import DIMNUMS, _cast
+
+    x2 = _cast(x2, compute_dtype)
+    w2 = _cast(w2, compute_dtype)
+    return lax.conv_general_dilated(
+        x2, w2, (2, 1, 1), "VALID",
+        dimension_numbers=DIMNUMS,
+        preferred_element_type=jnp.float32,
+    )

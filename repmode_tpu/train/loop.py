@@ -36,7 +36,7 @@ from repmode_tpu.data.sampler import PatchSampler
 from repmode_tpu.data.store import VolumeStore
 from repmode_tpu.infer.predict import TiledPredictor
 from repmode_tpu.metrics import MetricAggregator, metric_stats
-from repmode_tpu.models.reparam import reparameterize
+from repmode_tpu.models.reparam import make_inference
 from repmode_tpu.parallel import make_mesh, replicate, shard_batch
 from repmode_tpu.train.state import TrainState, create_train_state, param_count
 from repmode_tpu.train.step import make_train_step
@@ -110,14 +110,13 @@ def run_eval_pass(
     t0 = time.perf_counter()
     agg = MetricAggregator()
     variables = state.variables
+    prepare, _ = make_inference(cfg)  # predictor was built with the same cfg
     plain_cache: Dict[int, dict] = {}
 
     for i in range(len(store)):
         rec = store[i]
         if rec.task not in plain_cache:
-            plain_cache[rec.task] = reparameterize(
-                variables, cfg.model, cfg.num_tasks, rec.task
-            )
+            plain_cache[rec.task] = prepare(variables, rec.task)
         pred = predictor(plain_cache[rec.task], rec.signal)
         pred_np = np.asarray(pred)
         stats = metric_stats(pred_np, rec.target)

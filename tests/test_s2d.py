@@ -1,0 +1,128 @@
+"""Space-to-depth conv domain: exactness vs native convs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from repmode_tpu.ops.conv3d import conv3d_same, downsample2x_conv
+from repmode_tpu.ops.s2d import (
+    conv3d_same_s2d_domain,
+    depth_to_space_hw,
+    downsample_s2d_domain,
+    s2d_bias,
+    s2d_conv_kernel,
+    s2d_down_kernel,
+    space_to_depth_hw,
+)
+
+
+def arr(rng, shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+class TestTransforms:
+    def test_s2d_roundtrip(self, rng):
+        x = arr(rng, (2, 4, 8, 12, 3))
+        np.testing.assert_array_equal(depth_to_space_hw(space_to_depth_hw(x)), x)
+
+    def test_s2d_layout(self, rng):
+        x = arr(rng, (1, 1, 4, 4, 2))
+        x2 = space_to_depth_hw(x)
+        # phase-major: channel block (py*2+px)*C + c holds x[2h'+py, 2w'+px, c]
+        for py in range(2):
+            for px in range(2):
+                for c in range(2):
+                    np.testing.assert_array_equal(
+                        np.asarray(x2)[0, 0, :, :, (py * 2 + px) * 2 + c],
+                        np.asarray(x)[0, 0, py::2, px::2, c],
+                    )
+
+
+class TestS2dConv:
+    @pytest.mark.parametrize("k", [3, 5])
+    @pytest.mark.parametrize("ci,co", [(3, 4), (1, 5)])
+    def test_matches_native_conv(self, rng, k, ci, co):
+        x = arr(rng, (2, 6, 8, 12, ci))
+        w = arr(rng, (k, k, k, ci, co)) * 0.2
+        native = conv3d_same(x, w)
+        s2d_out = conv3d_same_s2d_domain(space_to_depth_hw(x), s2d_conv_kernel(w))
+        back = depth_to_space_hw(s2d_out)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(native), rtol=1e-5, atol=1e-5)
+
+    def test_bias_replication(self, rng):
+        b = arr(rng, (4,))
+        b2 = s2d_bias(b)
+        assert b2.shape == (16,)
+        np.testing.assert_array_equal(np.asarray(b2)[4:8], np.asarray(b))
+
+
+class TestS2dDownsample:
+    def test_matches_native_downsample(self, rng):
+        ci, co = 3, 5
+        x = arr(rng, (2, 4, 8, 12, ci))
+        w = arr(rng, (2, 2, 2, ci, co)) * 0.3
+        native = downsample2x_conv(x, w)  # (2, 2, 4, 6, co)
+        out = downsample_s2d_domain(space_to_depth_hw(x), s2d_down_kernel(w))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(native), rtol=1e-5, atol=1e-5)
+
+
+class TestTrainS2d:
+    def test_expert_sum_s2d_matches(self, rng):
+        from repmode_tpu.ops.mode import ExpertKernels, gate_logits_to_weights, mode_conv_expert_sum
+        import jax.numpy as jnp
+
+        n, ci, co = 2, 3, 4
+        x = arr(rng, (n, 4, 8, 12, ci))
+        ek = ExpertKernels(
+            arr(rng, (5, 5, 5, ci, co)) * 0.1,
+            arr(rng, (3, 3, 3, ci, co)) * 0.1,
+            arr(rng, (1, 1, 1, ci, co)) * 0.1,
+            arr(rng, (1, 1, 1, ci, co)) * 0.1,
+            arr(rng, (1, 1, 1, ci, co)) * 0.1,
+        )
+        g = gate_logits_to_weights(arr(rng, (n, 5 * co)), 5, co)
+        y0 = mode_conv_expert_sum(x, ek, g, s2d=False)
+        y1 = mode_conv_expert_sum(x, ek, g, s2d=True)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-5, atol=1e-6)
+
+    def test_s2d_kernel_transform_is_differentiable(self, rng):
+        from repmode_tpu.ops.s2d import s2d_conv_kernel, space_to_depth_hw
+        from repmode_tpu.ops.conv3d import conv3d_same
+
+        w = arr(rng, (5, 5, 5, 2, 3))
+        x2 = space_to_depth_hw(arr(rng, (1, 4, 8, 8, 2)))
+
+        def loss(w):
+            return jnp.sum(conv3d_same(x2, s2d_conv_kernel(w)) ** 2)
+
+        gr = jax.grad(loss)(w)
+        assert gr.shape == w.shape
+        assert np.all(np.isfinite(gr)) and np.any(np.asarray(gr) != 0)
+
+    def test_full_model_train_s2d_parity(self, rng):
+        """RepModeNet with train_s2d on/off computes the same function."""
+        import functools
+        from repmode_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+        from repmode_tpu.models import build_model
+
+        datasets = ("a", "b")
+        base = Config(
+            model=ModelConfig(mult_chan=2, depth=2),
+            train=TrainConfig(compute_dtype="float32"),
+            data=DataConfig(adopted_datasets=datasets),
+        )
+        cfg_on = base.replace(model=ModelConfig(mult_chan=2, depth=2, train_s2d=True))
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 16, 16, 1)).astype(np.float32))
+        t = jnp.asarray([0, 1], jnp.int32)
+
+        net0 = build_model(base)
+        vs = jax.jit(functools.partial(net0.init, train=True))(
+            {"params": jax.random.PRNGKey(0)}, x, t
+        )
+        y0, _ = jax.jit(functools.partial(net0.apply, train=True, mutable=["batch_stats"]))(vs, x, t)
+
+        net1 = build_model(cfg_on)
+        y1, _ = jax.jit(functools.partial(net1.apply, train=True, mutable=["batch_stats"]))(vs, x, t)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-5)
