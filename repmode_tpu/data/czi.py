@@ -219,9 +219,22 @@ class CziFile:
         return arr.reshape(shape)
 
     def _decompress(self, entry: SubBlockEntry, raw: bytes) -> bytes:
+        if entry.compression == 2:  # LZW (TIFF variant)
+            from repmode_tpu import native
+
+            samples = PIXEL_SAMPLES.get(entry.pixel_type, 1)
+            expected = (
+                int(np.prod([d.stored_size for d in entry.dimensions]))
+                * samples
+                * PIXEL_DTYPES[entry.pixel_type].itemsize
+            )
+            out = native.lzw_decode(raw, expected)
+            if out is not None:
+                return out
         raise NotImplementedError(
             f"compressed CZI subblocks (compression={entry.compression}) are "
-            "not supported; re-export uncompressed or plug a decoder here"
+            "not supported without the native decoder; re-export uncompressed "
+            "or build repmode_tpu/native"
         )
 
     def asarray(self) -> np.ndarray:

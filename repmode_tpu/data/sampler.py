@@ -25,6 +25,31 @@ import numpy as np
 from repmode_tpu.data.store import VolumeStore
 
 
+def draw_crop_flip(
+    vol_shape,
+    patch_size: Tuple[int, int, int],
+    rng: np.random.Generator,
+    flip_prob: float = 0.5,
+):
+    """Draw (starts[3], flips[3]) — the RNG protocol shared by the numpy and
+    native execution paths (determinism is independent of which one runs)."""
+    starts = np.asarray(
+        [rng.integers(0, s - p + 1) for s, p in zip(vol_shape, patch_size)],
+        np.int64,
+    )
+    flips = np.asarray([rng.uniform() <= flip_prob for _ in range(3)], np.uint8)
+    return starts, flips
+
+
+def apply_crop_flip(vol: np.ndarray, starts, flips, patch_size) -> np.ndarray:
+    sl = tuple(slice(int(st), int(st) + p) for st, p in zip(starts, patch_size))
+    out = vol[sl]
+    axes = [ax for ax in range(3) if flips[ax]]
+    if axes:
+        out = np.flip(out, axis=axes)
+    return np.ascontiguousarray(out)
+
+
 def random_crop_flip(
     signal: np.ndarray,
     target: np.ndarray,
@@ -34,16 +59,11 @@ def random_crop_flip(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One random crop + random flips, applied identically to both volumes."""
     assert signal.shape == target.shape, (signal.shape, target.shape)
-    starts = [
-        rng.integers(0, s - p + 1) for s, p in zip(signal.shape, patch_size)
-    ]
-    sl = tuple(slice(st, st + p) for st, p in zip(starts, patch_size))
-    sig, tgt = signal[sl], target[sl]
-    axes = [ax for ax in range(3) if rng.uniform() <= flip_prob]
-    if axes:
-        sig = np.flip(sig, axis=axes)
-        tgt = np.flip(tgt, axis=axes)
-    return np.ascontiguousarray(sig), np.ascontiguousarray(tgt)
+    starts, flips = draw_crop_flip(signal.shape, patch_size, rng, flip_prob)
+    return (
+        apply_crop_flip(signal, starts, flips, patch_size),
+        apply_crop_flip(target, starts, flips, patch_size),
+    )
 
 
 class PatchSampler:
@@ -58,6 +78,7 @@ class PatchSampler:
         flip_prob: float = 0.5,
         shuffle: bool = True,
         prefetch: int = 2,
+        use_native: bool = True,
     ):
         self.store = store
         self.batch_size = batch_size
@@ -66,24 +87,53 @@ class PatchSampler:
         self.shuffle = shuffle
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
+        self._native = None
+        if use_native:
+            from repmode_tpu import native
+
+            if native.lib() is not None:
+                self._native = native
 
     def batches_per_epoch(self) -> int:
         return -(-len(self.store) // self.batch_size)
 
     def _make_batch(self, idxs) -> Dict[str, np.ndarray]:
-        sigs, tgts, tasks = [], [], []
-        for i in idxs:
-            r = self.store[i]
-            s, t = random_crop_flip(
-                r.signal, r.target, self.patch_size, self.rng, self.flip_prob
+        records = [self.store[i] for i in idxs]
+        tasks = np.asarray([r.task for r in records], np.int32)
+
+        # one RNG draw protocol for both execution paths
+        starts = np.empty((len(records), 3), np.int64)
+        flips = np.empty((len(records), 3), np.uint8)
+        for i, r in enumerate(records):
+            starts[i], flips[i] = draw_crop_flip(
+                r.signal.shape, self.patch_size, self.rng, self.flip_prob
             )
-            sigs.append(s)
-            tgts.append(t)
-            tasks.append(r.task)
+
+        if self._native is not None:
+            out = self._native.crop_flip_batch(
+                [(r.signal, r.target) for r in records],
+                starts, flips, self.patch_size,
+            )
+            if out is not None:
+                sig, tgt = out
+                return {
+                    "signal": sig[..., None],
+                    "target": tgt[..., None],
+                    "task": tasks,
+                }
+
+        sigs = [
+            apply_crop_flip(r.signal, starts[i], flips[i], self.patch_size)
+            for i, r in enumerate(records)
+        ]
+        tgts = [
+            apply_crop_flip(r.target, starts[i], flips[i], self.patch_size)
+            for i, r in enumerate(records)
+        ]
         return {
             "signal": np.stack(sigs)[..., None].astype(np.float32),
             "target": np.stack(tgts)[..., None].astype(np.float32),
-            "task": np.asarray(tasks, np.int32),
+            "task": tasks,
         }
 
     def epoch(self, pad_tail_to_batch: bool = False) -> Iterator[Dict[str, np.ndarray]]:
