@@ -92,6 +92,9 @@ class EvalConfig:
     save_test_signals_and_targets: bool = False
     # space-to-depth execution of narrow-channel levels (exact; ~2x on v5e)
     s2d: bool = True
+    # 'fused' = one program per volume; 'two_phase' = forward-all then stitch
+    # (decoupled layouts; shardable patch grid)
+    predictor: str = "fused"
 
 
 @dataclass(frozen=True)

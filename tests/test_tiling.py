@@ -110,3 +110,31 @@ class TestStitching:
         vol = rng.standard_normal((8, 16, 16)).astype(np.float32)
         out = np.asarray(pred({"scale": jnp.asarray(3.0)}, vol))
         np.testing.assert_allclose(out, vol * 3.0, rtol=1e-5, atol=1e-5)
+
+
+class TestTwoPhasePredictor:
+    def test_matches_fused(self, rng):
+        cfg = small_cfg(batch=3)
+        vol = rng.standard_normal((8, 30, 33)).astype(np.float32)
+        fwd = lambda plain, x: x * 0.5 + 1.0
+        fused = TiledPredictor(cfg, forward_fn=fwd, mode="fused")
+        two = TiledPredictor(cfg, forward_fn=fwd, mode="two_phase")
+        np.testing.assert_allclose(
+            np.asarray(fused({}, vol)), np.asarray(two({}, vol)), rtol=1e-5, atol=1e-6
+        )
+
+    def test_mesh_sharded_two_phase(self, rng):
+        """Patch grid sharded over an 8-device mesh == single device."""
+        from repmode_tpu.parallel import make_mesh
+
+        cfg = small_cfg(batch=2)
+        vol = rng.standard_normal((8, 32, 48)).astype(np.float32)
+        fwd = lambda plain, x: x + 0.25
+        single = TiledPredictor(cfg, forward_fn=fwd, mode="two_phase")
+        sharded = TiledPredictor(
+            cfg, forward_fn=fwd, mode="two_phase", mesh=make_mesh(8)
+        )
+        np.testing.assert_allclose(
+            np.asarray(single({}, vol)), np.asarray(sharded({}, vol)),
+            rtol=1e-5, atol=1e-6,
+        )
