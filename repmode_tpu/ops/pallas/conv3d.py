@@ -1,0 +1,108 @@
+"""Pallas TPU kernel: 'same' 3D convolution as accumulated shifted matmuls.
+
+Targets the space-to-depth-domain shapes of this framework's U-Net levels
+(kernel (kD,3,3), channels >= 128, modest H,W) where the conv is a sum of
+kD*3*3 shifted (H*W, Ci) @ (Ci, Co) matmuls — pure MXU work with the input
+slab resident in VMEM (each input row is reused 9 times; HBM traffic is
+1x input + 1x output per depth slab instead of per tap).
+
+Layout: x (N, D, H, W, Ci) fp32/bf16; w (kD, 3, 3, Ci, Co). The input is
+zero-padded outside the kernel (cheap, fused by XLA); each grid step
+(n, d, h-tile) DMAs its (kD, TH+2, W+2, Ci) halo slab HBM -> VMEM and
+accumulates kD*9 matmuls in fp32.
+
+This is the hand-written counterpart of the XLA s2d conv path (ops/s2d.py);
+`repmode_tpu.ops.pallas` kernels are benchmarked against XLA and used when
+they win (see ARCHITECTURE.md). Correctness is pinned by interpret-mode
+tests against lax.conv_general_dilated.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv_kernel(x_hbm, w_ref, out_ref, x_vmem, sem, *, kd, th, w_len, ci, co,
+                 compute_dtype):
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+    h = pl.program_id(2)
+
+    # DMA the halo slab (kd, th+2, w_len+2, ci) for this (n, d, h-tile).
+    cp = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(d, kd), pl.ds(h * th, th + 2)],
+        x_vmem,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    acc = jnp.zeros((th * w_len, co), jnp.float32)
+    for dz in range(kd):
+        for dy in range(3):
+            for dx in range(3):
+                a = x_vmem[dz, dy : dy + th, dx : dx + w_len, :]
+                a = a.reshape(th * w_len, ci).astype(compute_dtype)
+                wk = w_ref[dz, dy, dx].astype(compute_dtype)
+                acc = acc + jnp.dot(a, wk, preferred_element_type=jnp.float32)
+    out_ref[0, 0] = acc.reshape(th, w_len, co)
+
+
+def pallas_conv3d_same(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    h_tile: int = 0,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """'same' conv for kernels (kD, 3, 3). x: (N,D,H,W,Ci) -> (N,D,H,W,Co) fp32."""
+    n, d, h, wl, ci = x.shape
+    kd, kh, kw, wci, co = w.shape
+    assert (kh, kw) == (3, 3) and wci == ci, (w.shape, x.shape)
+    pad_d = (kd - 1) // 2
+    if h_tile <= 0:
+        h_tile = h
+    assert h % h_tile == 0, (h, h_tile)
+
+    xp = jnp.pad(
+        x.astype(compute_dtype),
+        ((0, 0), (pad_d, pad_d), (1, 1), (1, 1), (0, 0)),
+    )
+    wc = w.astype(compute_dtype)
+
+    kernel = functools.partial(
+        _conv_kernel, kd=kd, th=h_tile, w_len=wl, ci=ci, co=co,
+        compute_dtype=compute_dtype,
+    )
+    grid = (n, d, h // h_tile)
+    flops = 2 * n * d * h * wl * kd * 9 * ci * co
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # manual DMA (halo slabs)
+            pl.BlockSpec(
+                (kd, 3, 3, ci, co), lambda n_, d_, h_: (0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h_tile, wl, co), lambda n_, d_, h_: (n_, d_, h_, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, d, h, wl, co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((kd, h_tile + 2, wl + 2, ci), compute_dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * 2 + w.size * 2, transcendentals=0
+        ),
+        interpret=interpret,
+    )(xp, wc)
