@@ -35,6 +35,7 @@ def available_models():
 
 
 from repmode_tpu.models.repmode import RepModeNet  # noqa: E402
+from repmode_tpu.models.unet import UNet3D  # noqa: E402
 
 
 @register_model("RepMode")
@@ -46,4 +47,19 @@ def _build_repmode(cfg: Config) -> RepModeNet:
     )
 
 
-__all__ = ["register_model", "build_model", "available_models", "RepModeNet"]
+@register_model("UNet")
+def _build_unet(cfg: Config) -> UNet3D:
+    return UNet3D(
+        cfg=cfg.model,
+        num_tasks=cfg.num_tasks,
+        compute_dtype=cfg.train.compute_dtype,
+    )
+
+
+__all__ = [
+    "register_model",
+    "build_model",
+    "available_models",
+    "RepModeNet",
+    "UNet3D",
+]

@@ -251,6 +251,24 @@ def make_inference(cfg) -> tuple:
     """
     import functools
 
+    if cfg.model.name != "RepMode":
+        # non-MoDE models (e.g. the UNet baseline) have nothing to merge:
+        # inference params are the variables; forward is the eval-mode net.
+        from repmode_tpu.models import build_model
+
+        net = build_model(cfg)
+
+        def prepare_plain(variables, task_id):
+            del task_id
+            return variables
+
+        def forward_plain(variables, x):
+            return net.apply(
+                variables, x, jnp.zeros((x.shape[0],), jnp.int32), train=False
+            )
+
+        return prepare_plain, forward_plain
+
     levels = default_s2d_levels(cfg.model) if cfg.eval.s2d else ()
     cdt = (
         None

@@ -82,10 +82,13 @@ def run_train_epoch(
         pending.append(metrics)
         n_batches += 1
 
+    grad_norms = []
     for metrics in pending:  # single sync point
         loss_sum += float(metrics["loss"])
         task_sums += np.asarray(metrics["per_task_loss_sum"], np.float64)
         task_counts += np.asarray(metrics["per_task_count"], np.float64)
+        if "grad_norm" in metrics:
+            grad_norms.append(float(metrics["grad_norm"]))
 
     state = state.replace(epoch=state.epoch + 1)
     log = {"X-axis/epoch": epoch + 1}
@@ -93,6 +96,9 @@ def run_train_epoch(
     for i, name in enumerate(cfg.data.adopted_datasets):
         if task_counts[i] > 0:
             log[f"loss_epoch/{name}"] = task_sums[i] / task_counts[i]
+    if grad_norms:
+        log["monitor/grad_norm"] = float(np.mean(grad_norms))
+        log["monitor/param_norm"] = float(pending[-1]["param_norm"])
     log["time/train"] = time.perf_counter() - t0
     return state, log
 

@@ -48,6 +48,8 @@ def make_train_step(
     net = build_model(cfg)
     tx = tx if tx is not None else make_optimizer(cfg)
     num_tasks = cfg.num_tasks
+    monitor = cfg.monitor_model  # grad/param norms (reference wandb.watch,
+    #                              main.py:143-149) computed in-step
 
     def loss_fn(params, batch_stats, batch):
         out, mut = net.apply(
@@ -75,6 +77,9 @@ def make_train_step(
             "per_task_loss_sum": sums,
             "per_task_count": counts,
         }
+        if monitor:
+            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["param_norm"] = optax.global_norm(new_params)
         new_state = state.replace(
             params=new_params,
             batch_stats=new_stats,
