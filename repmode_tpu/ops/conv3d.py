@@ -34,7 +34,15 @@ def conv3d_same(
     accum_dtype=jnp.float32,
     feature_group_count: int = 1,
 ) -> jax.Array:
-    """'same'-padded stride-1 3D conv. x: (N,D,H,W,Ci), w: (kD,kH,kW,Ci,Co)."""
+    """'same'-padded stride-1 3D conv. x: (N,D,H,W,Ci), w: (kD,kH,kW,Ci,Co).
+
+    accum_dtype=jnp.float32 requests fp32 output (forward/eval paths).
+    accum_dtype=None outputs compute_dtype — required on differentiated
+    paths: conv_general_dilated's VJP rejects a fp32 cotangent against bf16
+    operands, so AD-safe bf16 convs must round their output to bf16 (the MXU
+    still accumulates fp32 internally; this matches torch-AMP semantics where
+    autocast convs emit fp16).
+    """
     x = _cast(x, compute_dtype)
     w = _cast(w, compute_dtype)
     return lax.conv_general_dilated(

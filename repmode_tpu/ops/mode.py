@@ -126,7 +126,12 @@ def mode_conv_expert_sum(
     """
 
     def cv(inp, w):
-        return conv3d_same(inp, w, compute_dtype=compute_dtype)
+        # AD-safe: bf16 convs output bf16 (see conv3d_same); the fp32 gate
+        # multiply below promotes the combine back to fp32.
+        return conv3d_same(
+            inp, w, compute_dtype=compute_dtype,
+            accum_dtype=jnp.float32 if compute_dtype is None else None,
+        )
 
     # The three 1^3 branches are channel matmuls over x, avg3(x), avg5(x).
     pooled3 = avg_pool_same(x, 3)
@@ -174,9 +179,12 @@ def mode_conv_merged(
     w = merge_kernels(ek, g, kernel_size)  # (N,k,k,k,Ci,Co)
 
     def one(xi, wi):
-        return conv3d_same(xi[None], wi, compute_dtype=compute_dtype)[0]
+        return conv3d_same(
+            xi[None], wi, compute_dtype=compute_dtype,
+            accum_dtype=jnp.float32 if compute_dtype is None else None,
+        )[0]
 
-    return jax.vmap(one)(x, w)
+    return jax.vmap(one)(x, w).astype(jnp.float32)
 
 
 def mode_conv_single(
