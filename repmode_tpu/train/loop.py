@@ -141,16 +141,13 @@ def run_eval_pass(
 
 
 def _save_volume(pred_dir: str, idx: int, kind: str, rec, arr: np.ndarray):
-    """Save as TIFF when tifffile is available (reference format,
-    main.py:288-297), .npy otherwise."""
+    """Save as multi-page float32 TIFF (reference format, main.py:288-297)
+    using the first-party writer (utils/tiff.py)."""
+    from repmode_tpu.utils import tiff
+
     img_id = os.path.basename(rec.info.get("path_czi", f"{idx}")).rstrip(".czi")
     base = os.path.join(pred_dir, f"{idx:0>3d}_{kind}_{rec.dataset}_{img_id}")
-    try:
-        import tifffile
-
-        tifffile.imwrite(base + ".tiff", np.asarray(arr, np.float32))
-    except ImportError:
-        np.save(base + ".npy", np.asarray(arr, np.float32))
+    tiff.imwrite(base + ".tiff", np.asarray(arr, np.float32))
 
 
 def run_experiment(
@@ -199,9 +196,18 @@ def run_experiment(
     policy = CheckpointPolicy(cfg, dirs.checkpoints)
 
     # epoch loop (main.py:156-199)
+    # REPMODE_PROFILE_DIR=<dir> captures a jax.profiler trace of the first
+    # trained epoch (SURVEY.md §5.1: profiling as a first-class module).
+    profile_dir = os.environ.get("REPMODE_PROFILE_DIR")
     start_epoch = int(state.epoch)
     for epoch in range(start_epoch, cfg.train.num_epochs):
-        state, log = run_train_epoch(cfg, state, step_fn, sampler, epoch, mesh)
+        if profile_dir and epoch == start_epoch:
+            from repmode_tpu.utils.timing import profile_trace
+
+            with profile_trace(profile_dir):
+                state, log = run_train_epoch(cfg, state, step_fn, sampler, epoch, mesh)
+        else:
+            state, log = run_train_epoch(cfg, state, step_fn, sampler, epoch, mesh)
         logger.info(
             "[TRAIN]   NO.{} epoch training | loss: {:.6f}".format(
                 epoch + 1, log["loss/epoch"]

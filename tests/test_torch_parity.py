@@ -133,3 +133,35 @@ def test_reparam_matches_torch_eval(setup):
     fwd = jax.jit(functools.partial(plain_forward, cfg=cfg.model))
     y = fwd(plain, x)
     np.testing.assert_allclose(to_nchw(y), z["y_eval"], rtol=1e-4, atol=1e-4)
+
+
+def test_load_torch_checkpoint_roundtrip(tmp_path, golden):
+    """A reference-format .p checkpoint (fnet_model.py:57-65 dict) imports."""
+    torch = pytest.importorskip("torch")
+    import types
+
+    z, variables = golden
+    state_np = {k[3:]: z[k] for k in z.files if k.startswith("sd.")}
+    ckpt = {
+        "nn_module": "RepMode",
+        "opts": types.SimpleNamespace(
+            adopted_datasets=["task2", "task0", "task1"], gpu_ids=-1
+        ),
+        "nn_state": {k: torch.from_numpy(v.copy()) for k, v in state_np.items()},
+        "optimizer_state": {},
+        "count_iter": 123,
+        "count_epoch": 7,
+    }
+    path = str(tmp_path / "model_best.p")
+    torch.save(ckpt, path)
+
+    from repmode_tpu.compat.torch_import import load_torch_checkpoint
+
+    out = load_torch_checkpoint(path)
+    assert out["count_epoch"] == 7 and out["count_iter"] == 123
+    assert out["adopted_datasets"] == ["task0", "task1", "task2"]  # sorted
+    for a, b in zip(
+        jax.tree.leaves(out["variables"]["params"]),
+        jax.tree.leaves(variables["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
