@@ -139,18 +139,36 @@ def test_volume_reader(czi_path):
     np.testing.assert_allclose(scales["x"], 0.108)
 
 
-def test_compressed_raises(tmp_path, rng, czi_path):
-    """Flip compression flag -> loud NotImplementedError, not silent junk."""
+def test_unsupported_compression_raises(tmp_path, czi_path):
+    """Unknown compression -> loud NotImplementedError, not silent junk."""
     path, data = czi_path
     blob = bytearray(open(path, "rb").read())
-    # find directory entry via its 'DV' schema inside the directory segment
-    # simpler: rewrite file with compression=2 by patching every DV entry
     idx = blob.find(b"DV")
     while idx != -1:
-        struct.pack_into("<i", blob, idx + 18, 2)  # compression=2
+        struct.pack_into("<i", blob, idx + 18, 4)  # 4 = JPEG-XR (unsupported)
         idx = blob.find(b"DV", idx + 2)
     bad = tmp_path / "bad.czi"
     bad.write_bytes(bytes(blob))
     with CziFile(str(bad)) as czi:
         with pytest.raises(NotImplementedError):
+            czi.asarray()
+
+
+def test_lzw_compressed_garbage_rejected(tmp_path, czi_path):
+    """compression=2 routes to the native LZW decoder, which must reject a
+    stream that isn't LZW rather than return junk."""
+    from repmode_tpu import native
+
+    if native.lib() is None:
+        pytest.skip("native lib unavailable")
+    path, data = czi_path
+    blob = bytearray(open(path, "rb").read())
+    idx = blob.find(b"DV")
+    while idx != -1:
+        struct.pack_into("<i", blob, idx + 18, 2)  # LZW
+        idx = blob.find(b"DV", idx + 2)
+    bad = tmp_path / "bad2.czi"
+    bad.write_bytes(bytes(blob))
+    with CziFile(str(bad)) as czi:
+        with pytest.raises(ValueError):
             czi.asarray()
