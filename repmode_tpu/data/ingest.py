@@ -82,12 +82,21 @@ def ingest_row(cfg: Config, row) -> VolumeRecord:
 
 
 def ingest_split(cfg: Config, split: str, logger=None) -> VolumeStore:
+    """Decode a whole split; rows run in a thread pool (cfg.data.num_workers —
+    the reference burned DataLoader worker *processes* on this; numpy/scipy
+    release the GIL for the heavy parts)."""
     df = load_split_dataframe(cfg, split)
-    records = []
-    for i in range(len(df)):
-        records.append(ingest_row(cfg, df.iloc[i]))
-        if logger is not None and (i + 1) % 20 == 0:
-            logger.info(f"[DATASET] {split}: {i + 1}/{len(df)} volumes ingested")
+    rows = [df.iloc[i] for i in range(len(df))]
+    workers = max(1, int(cfg.data.num_workers))
+    if workers == 1 or len(rows) <= 1:
+        records = [ingest_row(cfg, r) for r in rows]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            records = list(ex.map(lambda r: ingest_row(cfg, r), rows))
     if logger is not None:
-        logger.info(f"[DATASET] {split} ingested with CziVolumeReader ({len(df)} volumes)")
+        logger.info(
+            f"[DATASET] {split} ingested with CziVolumeReader ({len(df)} volumes)"
+        )
     return VolumeStore(records, cfg.data.adopted_datasets)
