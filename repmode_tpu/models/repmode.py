@@ -33,9 +33,17 @@ from repmode_tpu.ops.mode import (
     ExpertKernels,
     gate_logits_to_weights,
     mode_conv_expert_sum,
+    mode_conv_expert_sum_s2d_domain,
     mode_conv_merged,
 )
 from repmode_tpu.ops.norm import batch_norm_apply, batch_norm_train
+from repmode_tpu.ops.s2d import (
+    depth_to_space_hw,
+    downsample_s2d_domain,
+    s2d_down_kernel,
+    space_to_depth_hw,
+    upsample_to_s2d,
+)
 
 
 def torch_uniform_init(fan_in: int):
@@ -54,11 +62,17 @@ def torch_uniform_init(fan_in: int):
 
 
 class BatchNorm3d(nn.Module):
-    """torch-semantics BatchNorm over (N, D, H, W) with running stats."""
+    """torch-semantics BatchNorm over (N, D, H, W) with running stats.
+
+    phases=4 normalizes an s2d-domain tensor (N,D,h',w',4C): statistics and
+    affine parameters are per *native* channel, aggregated across the 4 H,W
+    phases — numerically identical to native BN up to reduction order.
+    """
 
     features: int
     momentum: float = 0.1
     eps: float = 1e-5
+    phases: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -70,6 +84,13 @@ class BatchNorm3d(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
+        shape = x.shape
+        if self.phases > 1:
+            # (N,D,h',w',phases*C) -> (N*phases, D, h', w', C): the phase axis
+            # joins the batch reduction, so stats are per native channel.
+            x = x.reshape(*shape[:-1], self.phases, self.features)
+            x = jnp.moveaxis(x, -2, 1)  # (N, phases, D, h', w', C)
+            x = x.reshape(shape[0] * self.phases, *shape[1:-1], self.features)
         if train:
             y, new_mean, new_var = batch_norm_train(
                 x, ra_mean.value, ra_var.value, scale, bias,
@@ -78,8 +99,15 @@ class BatchNorm3d(nn.Module):
             if not self.is_initializing():
                 ra_mean.value = new_mean
                 ra_var.value = new_var
-            return y
-        return batch_norm_apply(x, ra_mean.value, ra_var.value, scale, bias, self.eps)
+        else:
+            y = batch_norm_apply(
+                x, ra_mean.value, ra_var.value, scale, bias, self.eps
+            )
+        if self.phases > 1:
+            y = y.reshape(shape[0], self.phases, *shape[1:-1], self.features)
+            y = jnp.moveaxis(y, 1, -2)
+            y = y.reshape(shape)
+        return y
 
 
 class MoDEConv(nn.Module):
@@ -95,7 +123,12 @@ class MoDEConv(nn.Module):
     bn_eps: float = 1e-5
     compute_dtype: Optional[jnp.dtype] = None
     train_impl: str = "expert_sum"
-    s2d: bool = False  # space-to-depth expert convs (narrow-channel levels)
+    # 's2d': input/output are s2d-domain tensors (N,D,h',w',4C) and every op
+    # (expert convs, pools, BN) runs in that domain (ops/mode.py s2d path).
+    domain: str = "native"
+    # native channel widths of concatenated s2d input segments (decoder
+    # concat of skip + upsampled); () = single segment.
+    input_channel_sizes: tuple = ()
 
     def setup(self):
         ci, co, e = self.in_chan, self.out_chan, self.num_experts
@@ -111,7 +144,10 @@ class MoDEConv(nn.Module):
             "gate_bias", torch_uniform_init(self.num_tasks), (e * co,)
         )
         if self.conv_type == "normal":
-            self.bn = BatchNorm3d(co, momentum=self.bn_momentum, eps=self.bn_eps)
+            self.bn = BatchNorm3d(
+                co, momentum=self.bn_momentum, eps=self.bn_eps,
+                phases=4 if self.domain == "s2d" else 1,
+            )
         elif self.conv_type != "final":
             raise ValueError(f"conv_type must be 'normal' or 'final', got {self.conv_type}")
 
@@ -126,14 +162,17 @@ class MoDEConv(nn.Module):
     def __call__(self, x: jax.Array, task_emb: jax.Array, *, train: bool) -> jax.Array:
         g = self.gate(task_emb)
         ek = self.experts()
-        if self.train_impl == "merged":
+        if self.domain == "s2d":
+            y = mode_conv_expert_sum_s2d_domain(
+                x, ek, g, compute_dtype=self.compute_dtype,
+                channel_sizes=self.input_channel_sizes or None,
+            )
+        elif self.train_impl == "merged":
             y = mode_conv_merged(
                 x, ek, g, kernel_size=self.kernel_size, compute_dtype=self.compute_dtype
             )
         else:
-            y = mode_conv_expert_sum(
-                x, ek, g, compute_dtype=self.compute_dtype, s2d=self.s2d
-            )
+            y = mode_conv_expert_sum(x, ek, g, compute_dtype=self.compute_dtype)
         if self.conv_type == "normal":
             y = self.bn(y, train=train)
             y = nn.relu(y)
@@ -141,7 +180,11 @@ class MoDEConv(nn.Module):
 
 
 class MoDESubNet2Conv(nn.Module):
-    """Two stacked k=5 MoDE convs (reference MoDESubNet2Conv, RepMode.py:111-120)."""
+    """Two stacked k=5 MoDE convs (reference MoDESubNet2Conv, RepMode.py:111-120).
+
+    When s2d is set, input/output are s2d-domain tensors and both convs run
+    in-domain; input_channel_sizes describes a concatenated s2d input
+    (decoder skip + upsampled)."""
 
     num_experts: int
     num_tasks: int
@@ -149,6 +192,8 @@ class MoDESubNet2Conv(nn.Module):
     n_out: int
     cfg: ModelConfig
     compute_dtype: Optional[jnp.dtype] = None
+    s2d: bool = False
+    input_channel_sizes: tuple = ()
 
     @nn.compact
     def __call__(self, x, task_emb, *, train: bool):
@@ -160,11 +205,12 @@ class MoDESubNet2Conv(nn.Module):
             bn_eps=self.cfg.bn_eps,
             compute_dtype=self.compute_dtype,
             train_impl=self.cfg.train_impl,
-            s2d=self.cfg.train_s2d and self.n_out < 128,
+            domain="s2d" if self.s2d else "native",
         )
-        x = MoDEConv(in_chan=self.n_in, out_chan=self.n_out, name="conv1", **common)(
-            x, task_emb, train=train
-        )
+        x = MoDEConv(
+            in_chan=self.n_in, out_chan=self.n_out, name="conv1",
+            input_channel_sizes=tuple(self.input_channel_sizes), **common,
+        )(x, task_emb, train=train)
         x = MoDEConv(in_chan=self.n_out, out_chan=self.n_out, name="conv2", **common)(
             x, task_emb, train=train
         )
@@ -173,7 +219,13 @@ class MoDESubNet2Conv(nn.Module):
 
 class MoDEEncoderBlock(nn.Module):
     """MoDE double conv -> skip, then strided conv+BN+ReLU downsample
-    (reference MoDEEncoderBlock, RepMode.py:74-89)."""
+    (reference MoDEEncoderBlock, RepMode.py:74-89).
+
+    s2d levels convert once at block entry; the skip is RETURNED IN THE s2d
+    DOMAIN (the matching decoder consumes it there) and the downsample runs
+    as a (2,1,1)-over-phase-block conv producing the next level's native
+    tensor directly — the full-resolution narrow-channel tensor is never
+    materialized."""
 
     num_experts: int
     num_tasks: int
@@ -181,18 +233,26 @@ class MoDEEncoderBlock(nn.Module):
     out_chan: int
     cfg: ModelConfig
     compute_dtype: Optional[jnp.dtype] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, task_emb, *, train: bool):
+        if self.s2d:
+            x = space_to_depth_hw(x)
         x_skip = MoDESubNet2Conv(
             self.num_experts, self.num_tasks, self.in_chan, self.out_chan,
-            self.cfg, self.compute_dtype, name="conv_more",
+            self.cfg, self.compute_dtype, s2d=self.s2d, name="conv_more",
         )(x, task_emb, train=train)
         w_down = self.param(
             "down_w", torch_uniform_init(self.out_chan * 8),
             (2, 2, 2, self.out_chan, self.out_chan),
         )
-        x = downsample2x_conv(x_skip, w_down, compute_dtype=self.compute_dtype)
+        if self.s2d:
+            x = downsample_s2d_domain(
+                x_skip, s2d_down_kernel(w_down), compute_dtype=self.compute_dtype
+            )
+        else:
+            x = downsample2x_conv(x_skip, w_down, compute_dtype=self.compute_dtype)
         x = BatchNorm3d(
             self.out_chan, momentum=self.cfg.bn_momentum, eps=self.cfg.bn_eps,
             name="down_bn",
@@ -203,7 +263,13 @@ class MoDEEncoderBlock(nn.Module):
 
 class MoDEDecoderBlock(nn.Module):
     """Transposed-conv upsample + BN + ReLU, concat skip, MoDE double conv
-    (reference MoDEDecoderBlock, RepMode.py:92-108)."""
+    (reference MoDEDecoderBlock, RepMode.py:92-108).
+
+    s2d levels: the transposed conv produces the s2d-domain tensor directly
+    (ops/s2d.upsample_to_s2d), BN runs phase-aware, the skip arrives in s2d
+    from the encoder, and conv_less runs in-domain with a split-segment
+    kernel for the concat. Output stays in the s2d domain (the caller
+    converts when the next consumer is native)."""
 
     num_experts: int
     num_tasks: int
@@ -211,6 +277,7 @@ class MoDEDecoderBlock(nn.Module):
     out_chan: int
     cfg: ModelConfig
     compute_dtype: Optional[jnp.dtype] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, x_skip, task_emb, *, train: bool):
@@ -219,16 +286,21 @@ class MoDEDecoderBlock(nn.Module):
             "up_w", torch_uniform_init(self.out_chan * 8),
             (2, 2, 2, self.in_chan, self.out_chan),
         )
-        x = upsample2x_convt(x, w_up, compute_dtype=self.compute_dtype)
+        if self.s2d:
+            x = upsample_to_s2d(x, w_up, compute_dtype=self.compute_dtype)
+        else:
+            x = upsample2x_convt(x, w_up, compute_dtype=self.compute_dtype)
         x = BatchNorm3d(
             self.out_chan, momentum=self.cfg.bn_momentum, eps=self.cfg.bn_eps,
-            name="up_bn",
+            phases=4 if self.s2d else 1, name="up_bn",
         )(x, train=train)
         x = nn.relu(x)
         x = jnp.concatenate([x_skip, x], axis=-1)  # skip first (RepMode.py:106)
         x = MoDESubNet2Conv(
             self.num_experts, self.num_tasks, self.in_chan, self.out_chan,
-            self.cfg, self.compute_dtype, name="conv_less",
+            self.cfg, self.compute_dtype, s2d=self.s2d,
+            input_channel_sizes=(self.out_chan, self.out_chan) if self.s2d else (),
+            name="conv_less",
         )(x, task_emb, train=train)
         return x
 
@@ -256,12 +328,21 @@ class RepModeNet(nn.Module):
 
         chans = [c * (2**i) for i in range(cfg.depth + 1)]  # [32,64,128,256,512]
 
-        # encoder (RepMode.py:56-59)
+        # s2d execution domain for narrow-channel levels (ARCHITECTURE.md §3);
+        # mirrors the re-parameterized inference net's dataflow.
+        s2d_levels = set()
+        if cfg.train_s2d:
+            from repmode_tpu.models.reparam import default_s2d_levels
+
+            s2d_levels = set(default_s2d_levels(cfg))
+
+        # encoder (RepMode.py:56-59); s2d-level skips stay in the s2d domain
         skips = []
         in_ch = cfg.in_channels
         for i in range(cfg.depth):
             x, x_skip = MoDEEncoderBlock(
-                e, t, in_ch, chans[i], cfg, cdt, name=f"encoder_block{i + 1}"
+                e, t, in_ch, chans[i], cfg, cdt, s2d=(i + 1) in s2d_levels,
+                name=f"encoder_block{i + 1}",
             )(x, task_emb, train=train)
             skips.append(x_skip)
             in_ch = chans[i]
@@ -271,13 +352,20 @@ class RepModeNet(nn.Module):
             e, t, chans[cfg.depth - 1], chans[cfg.depth], cfg, cdt, name="bottle_block"
         )(x, task_emb, train=train)
 
-        # decoder (RepMode.py:65-68)
+        # decoder (RepMode.py:65-68); s2d decoder blocks emit s2d tensors —
+        # convert back to native only when the next consumer needs it
         for i in range(cfg.depth, 0, -1):
+            level_s2d = i in s2d_levels
             x = MoDEDecoderBlock(
-                e, t, chans[i], chans[i - 1], cfg, cdt, name=f"decoder_block{i}"
+                e, t, chans[i], chans[i - 1], cfg, cdt, s2d=level_s2d,
+                name=f"decoder_block{i}",
             )(x, skips[i - 1], task_emb, train=train)
+            next_consumer_s2d = (i == 1) and level_s2d  # conv_out in-domain
+            if level_s2d and not next_consumer_s2d:
+                x = depth_to_space_hw(x)
 
         # final gate-only conv, no BN/ReLU (RepMode.py:42,150-151)
+        out_s2d = 1 in s2d_levels
         x = MoDEConv(
             num_experts=e,
             num_tasks=t,
@@ -287,7 +375,9 @@ class RepModeNet(nn.Module):
             conv_type="final",
             compute_dtype=cdt,
             train_impl=cfg.train_impl,
-            s2d=cfg.train_s2d,
+            domain="s2d" if out_s2d else "native",
             name="conv_out",
         )(x, task_emb, train=train)
+        if out_s2d:
+            x = depth_to_space_hw(x)
         return x

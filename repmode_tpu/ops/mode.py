@@ -167,6 +167,80 @@ def mode_conv_expert_sum(
     )
 
 
+def _split_s2d_kernel(build, w: jax.Array, channel_sizes) -> jax.Array:
+    """s2d-transform a kernel whose input is a concat of s2d segments.
+
+    s2d(concat(a, b)) != concat(s2d(a), s2d(b)) channel-wise, so kernels for
+    concatenated s2d inputs are built per native segment and concatenated on
+    the input-channel axis (mirrors models/reparam.to_s2d_plain)."""
+    if len(channel_sizes) == 1:
+        return build(w)
+    parts = []
+    off = 0
+    for c in channel_sizes:
+        parts.append(build(w[:, :, :, off : off + c]))
+        off += c
+    return jnp.concatenate(parts, axis=3)
+
+
+def mode_conv_expert_sum_s2d_domain(
+    x2: jax.Array,
+    ek: ExpertKernels,
+    g: jax.Array,
+    *,
+    compute_dtype=None,
+    channel_sizes=None,
+) -> jax.Array:
+    """Expert-sum MoDE conv executed entirely in the s2d domain.
+
+    x2: (N,D,h',w',4*Ci_total) phase-major (possibly a concat of s2d
+    segments, see channel_sizes); g: (N,E,Co) -> (N,D,h',w',4*Co) fp32.
+    All five branches (5^3/3^3 convs, pointwise convs, box avg-pools) run on
+    lane-filling 4C-channel tensors; narrow-channel activations are never
+    materialized (the 4x layout-padding + low MXU occupancy of C<128 levels,
+    see ARCHITECTURE.md §3).
+    """
+    from repmode_tpu.ops.s2d import (
+        avg_pool_same_s2d,
+        s2d_conv1_kernel,
+        s2d_conv_kernel,
+    )
+
+    cs = tuple(channel_sizes) if channel_sizes else (ek.w5.shape[3],)
+    k5 = _split_s2d_kernel(s2d_conv_kernel, ek.w5, cs)
+    k3 = _split_s2d_kernel(s2d_conv_kernel, ek.w3, cs)
+    k1 = _split_s2d_kernel(s2d_conv1_kernel, ek.w1, cs)
+    ka3 = _split_s2d_kernel(s2d_conv1_kernel, ek.wa3, cs)
+    ka5 = _split_s2d_kernel(s2d_conv1_kernel, ek.wa5, cs)
+
+    def cv(inp, w):
+        return conv3d_same(
+            inp, w, compute_dtype=compute_dtype,
+            accum_dtype=jnp.float32 if compute_dtype is None else None,
+        )
+
+    pooled3 = avg_pool_same_s2d(x2, 3, cs)
+    pooled5 = avg_pool_same_s2d(x2, 5, cs)
+    y5 = cv(x2, k5)
+    y3 = cv(x2, k3)
+    yc1 = cv(x2, k1)
+    ya3 = cv(pooled3, ka3)
+    ya5 = cv(pooled5, ka5)
+
+    gf = g.astype(jnp.float32)
+
+    def gw(e):  # (N,Co) -> (N,1,1,1,4Co): same gate for every output phase
+        return jnp.tile(gf[:, e], (1, 4))[:, None, None, None, :]
+
+    return (
+        gw(0) * y5
+        + gw(1) * y3
+        + gw(2) * yc1
+        + gw(3) * ya3
+        + gw(4) * ya5
+    )
+
+
 def mode_conv_merged(
     x: jax.Array,
     ek: ExpertKernels,

@@ -100,6 +100,108 @@ def conv3d_same_s2d_domain(x2: jax.Array, w2: jax.Array, *, compute_dtype=None) 
     return conv3d_same(x2, w2, compute_dtype=compute_dtype)
 
 
+def s2d_conv1_kernel(w: jax.Array) -> jax.Array:
+    """1^3 conv kernel (1,1,1,Ci,Co) -> s2d block-diagonal (1,1,1,4Ci,4Co).
+
+    A pointwise conv acts per phase: W2[(p,i),(q,o)] = delta_pq * W[i,o].
+    Built directly (the generic transform would emit a mostly-zero 3x3 tap)."""
+    ci, co = w.shape[3], w.shape[4]
+    w1 = w.reshape(ci, co)
+    eye = jnp.eye(4, dtype=w.dtype)
+    w2 = jnp.einsum("pq,io->piqo", eye, w1).reshape(4 * ci, 4 * co)
+    return w2[None, None, None]
+
+
+def upsample_to_s2d(x: jax.Array, w: jax.Array, *, compute_dtype=None) -> jax.Array:
+    """k=2,s=2 transposed conv producing an s2d-domain output directly.
+
+    Native: out[n,2d+a,2h'+b,2w'+c,o] = sum_i x[n,d,h',w',i] W[a,b,c,i,o].
+    The (b,c) phases ARE the s2d phase block, so the op is a matmul into
+    (2, 4Co) channels followed by a depth interleave — the full-resolution
+    native (C small) tensor is never materialized.
+    x: (N,D,h',w',Ci), w: (2,2,2,Ci,Co) -> (N,2D,h',w',4Co).
+    """
+    n, d, hh, ww, ci = x.shape
+    co = w.shape[-1]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    # (a,b,c,i,o) -> (a, i, (b,c,o))
+    wm = w.transpose(0, 3, 1, 2, 4).reshape(2, ci, 4 * co)
+    y = jnp.einsum("ndhwi,aik->nadhwk", x, wm)
+    y = y.transpose(0, 2, 1, 3, 4, 5)  # (n, d, a, h, w, k)
+    return y.reshape(n, 2 * d, hh, ww, 4 * co)
+
+
+def _box1d_s2d(xv: jax.Array, k: int, spatial_axis: int, phase_axis: int) -> jax.Array:
+    """Box-sum of native window k along a halved axis of an s2d-view tensor.
+
+    xv: (..., h', w', py, px, C)-style view where `spatial_axis` is the halved
+    spatial dim and `phase_axis` its phase dim (size 2). Native index
+    m = 2*m' + phase; out phase q at m' sums x[m + dx] for dx in [-r, r]:
+    each (q, dx) maps to input phase p = (q+dx) mod 2 shifted by
+    t = (q + dx - p) // 2. Zero padding (count_include_pad) as in the native
+    box filter.
+    """
+    from jax import lax
+
+    r = (k - 1) // 2
+    n = xv.shape[spatial_axis]
+
+    def shifted(p: int, t: int) -> jax.Array:
+        xp = lax.slice_in_dim(xv, p, p + 1, axis=phase_axis)
+        if t == 0:
+            return xp
+        pad = [(0, 0)] * xv.ndim
+        if t > 0:
+            pad[spatial_axis] = (0, t)
+            xpad = jnp.pad(xp, pad)
+            return lax.slice_in_dim(xpad, t, t + n, axis=spatial_axis)
+        pad[spatial_axis] = (-t, 0)
+        xpad = jnp.pad(xp, pad)
+        return lax.slice_in_dim(xpad, 0, n, axis=spatial_axis)
+
+    outs = []
+    for q in range(2):
+        acc = None
+        for dx in range(-r, r + 1):
+            p = (q + dx) % 2
+            t = (q + dx - p) // 2
+            term = shifted(p, t)
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=phase_axis)
+
+
+def avg_pool_same_s2d(x2: jax.Array, k: int, channel_sizes=None) -> jax.Array:
+    """k^3 average pool (stride 1, zero 'same' pad) on an s2d-domain tensor.
+
+    x2: (N, D, h', w', 4C) phase-major. channel_sizes: native channel widths
+    of concatenated s2d segments (e.g. decoder concat of skip+up); each
+    segment has its own phase-block layout and pools independently.
+    """
+    c4 = x2.shape[-1]
+    if channel_sizes is None:
+        channel_sizes = (c4 // 4,)
+    assert sum(channel_sizes) * 4 == c4, (channel_sizes, c4)
+
+    from repmode_tpu.ops.conv3d import _box1d
+
+    outs = []
+    off = 0
+    for c in channel_sizes:
+        seg = x2[..., off : off + 4 * c]
+        off += 4 * c
+        n, d, hh, ww, _ = seg.shape
+        v = seg.reshape(n, d, hh, ww, 2, 2, c)
+        v = _box1d(v, k, 1)            # native D axis: plain box
+        v = _box1d_s2d(v, k, 2, 4)     # H: halved axis 2, phase py axis 4
+        v = _box1d_s2d(v, k, 3, 5)     # W: halved axis 3, phase px axis 5
+        outs.append(v.reshape(n, d, hh, ww, 4 * c))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return out * jnp.asarray(1.0 / k**3, out.dtype)
+
+
 def downsample_s2d_domain(x2: jax.Array, w2: jax.Array, *, compute_dtype=None) -> jax.Array:
     """s2d-domain downsample: (N,D,h',w',4C) -> native next level (N,D/2,h',w',Co)."""
     from jax import lax
