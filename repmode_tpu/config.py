@@ -56,6 +56,10 @@ class ModelConfig:
     # training (ops/s2d.py; exact, differentiable). Off by default pending
     # on-chip benchmarking of the train step.
     train_s2d: bool = False
+    # rematerialize MoDE conv internals in the backward pass (jax.checkpoint):
+    # trades ~25% step FLOPs for the activation memory that otherwise OOMs
+    # full-scale training on a 16GB chip.
+    remat: bool = True
     bn_momentum: float = 0.1     # torch BatchNorm3d default
     bn_eps: float = 1e-5
 

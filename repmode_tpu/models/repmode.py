@@ -21,6 +21,7 @@ checkpoints map 1:1 (compat/torch_import.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import flax.linen as nn
@@ -86,15 +87,14 @@ class BatchNorm3d(nn.Module):
         )
         shape = x.shape
         if self.phases > 1:
-            # (N,D,h',w',phases*C) -> (N*phases, D, h', w', C): the phase axis
-            # joins the batch reduction, so stats are per native channel.
+            # bitcast view (..., phases, C): stats reduce over everything but
+            # the native channel axis — no transpose/copy materialized.
             x = x.reshape(*shape[:-1], self.phases, self.features)
-            x = jnp.moveaxis(x, -2, 1)  # (N, phases, D, h', w', C)
-            x = x.reshape(shape[0] * self.phases, *shape[1:-1], self.features)
+        axes = tuple(range(x.ndim - 1))
         if train:
             y, new_mean, new_var = batch_norm_train(
                 x, ra_mean.value, ra_var.value, scale, bias,
-                momentum=self.momentum, eps=self.eps,
+                momentum=self.momentum, eps=self.eps, axes=axes,
             )
             if not self.is_initializing():
                 ra_mean.value = new_mean
@@ -104,8 +104,6 @@ class BatchNorm3d(nn.Module):
                 x, ra_mean.value, ra_var.value, scale, bias, self.eps
             )
         if self.phases > 1:
-            y = y.reshape(shape[0], self.phases, *shape[1:-1], self.features)
-            y = jnp.moveaxis(y, 1, -2)
             y = y.reshape(shape)
         return y
 
@@ -129,6 +127,8 @@ class MoDEConv(nn.Module):
     # native channel widths of concatenated s2d input segments (decoder
     # concat of skip + upsampled); () = single segment.
     input_channel_sizes: tuple = ()
+    # jax.checkpoint the expert-conv math (recompute in backward)
+    remat: bool = False
 
     def setup(self):
         ci, co, e = self.in_chan, self.out_chan, self.num_experts
@@ -163,19 +163,32 @@ class MoDEConv(nn.Module):
         g = self.gate(task_emb)
         ek = self.experts()
         if self.domain == "s2d":
-            y = mode_conv_expert_sum_s2d_domain(
-                x, ek, g, compute_dtype=self.compute_dtype,
+            op = functools.partial(
+                mode_conv_expert_sum_s2d_domain,
+                compute_dtype=self.compute_dtype,
                 channel_sizes=self.input_channel_sizes or None,
             )
         elif self.train_impl == "merged":
-            y = mode_conv_merged(
-                x, ek, g, kernel_size=self.kernel_size, compute_dtype=self.compute_dtype
+            op = functools.partial(
+                mode_conv_merged,
+                kernel_size=self.kernel_size,
+                compute_dtype=self.compute_dtype,
             )
         else:
-            y = mode_conv_expert_sum(x, ek, g, compute_dtype=self.compute_dtype)
+            op = functools.partial(
+                mode_conv_expert_sum, compute_dtype=self.compute_dtype
+            )
+        if self.remat:
+            op = jax.checkpoint(op)
+        y = op(x, ek, g)
         if self.conv_type == "normal":
             y = self.bn(y, train=train)
             y = nn.relu(y)
+        if self.compute_dtype is not None:
+            # AMP-equivalent residual policy: downstream consumers cast to
+            # bf16 anyway; storing the activation in bf16 halves the
+            # backward-pass footprint (torch autocast keeps fp16 tensors).
+            y = y.astype(self.compute_dtype)
         return y
 
 
@@ -206,6 +219,7 @@ class MoDESubNet2Conv(nn.Module):
             compute_dtype=self.compute_dtype,
             train_impl=self.cfg.train_impl,
             domain="s2d" if self.s2d else "native",
+            remat=self.cfg.remat,
         )
         x = MoDEConv(
             in_chan=self.n_in, out_chan=self.n_out, name="conv1",
@@ -376,6 +390,7 @@ class RepModeNet(nn.Module):
             compute_dtype=cdt,
             train_impl=cfg.train_impl,
             domain="s2d" if out_s2d else "native",
+            remat=cfg.remat,
             name="conv_out",
         )(x, task_emb, train=train)
         if out_s2d:

@@ -114,6 +114,10 @@ def _box1d(x: jax.Array, k: int, axis: int) -> jax.Array:
     return out
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def avg_pool_same(x: jax.Array, k: int) -> jax.Array:
     """k^3 average pool, stride 1, zero ('same') padding, count_include_pad.
 
@@ -121,6 +125,26 @@ def avg_pool_same(x: jax.Array, k: int) -> jax.Array:
     convolved with 'same' zero padding (RepMode.py:139-142,161-163): border
     windows divide by k^3 including the zero padding. Separable box filter
     over D, H, W.
+
+    Custom VJP: a symmetric zero-padded box filter is self-adjoint, so the
+    backward pass is the same pooling applied to the cotangent — one op
+    instead of the transpose of the whole shifted-add chain (which otherwise
+    dominates backward-pass memory).
     """
+    return _avg_pool_impl(x, k)
+
+
+def _avg_pool_impl(x: jax.Array, k: int) -> jax.Array:
     s = _box1d(_box1d(_box1d(x, k, 1), k, 2), k, 3)
     return s * jnp.asarray(1.0 / k**3, s.dtype)
+
+
+def _avg_pool_fwd(x, k):
+    return _avg_pool_impl(x, k), None
+
+
+def _avg_pool_bwd(k, _, g):
+    return (_avg_pool_impl(g, k),)
+
+
+avg_pool_same.defvjp(_avg_pool_fwd, _avg_pool_bwd)

@@ -48,18 +48,23 @@ def batch_norm_train(
     *,
     momentum: float = 0.1,
     eps: float = 1e-5,
+    axes: Tuple[int, ...] = _AXES,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Training mode: normalize by batch stats, return updated running stats.
 
-    Returns (y, new_running_mean, new_running_var).
+    `axes` are the reduction axes (default: N,D,H,W of a 5D tensor; s2d-domain
+    callers reduce every axis but the native channel). Returns
+    (y, new_running_mean, new_running_var).
     """
     x32 = x.astype(jnp.float32)
-    bmean = jnp.mean(x32, axis=_AXES)
-    bvar = jnp.mean(jnp.square(x32), axis=_AXES) - jnp.square(bmean)
+    bmean = jnp.mean(x32, axis=axes)
+    bvar = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(bmean)
     bvar = jnp.maximum(bvar, 0.0)
     y = batch_norm_apply(x32, bmean, bvar, scale, bias, eps)
 
-    n = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
+    n = 1
+    for ax in axes:
+        n *= x.shape[ax]
     unbiased = bvar * (n / max(n - 1, 1))
     new_mean = (1.0 - momentum) * running_mean + momentum * bmean
     new_var = (1.0 - momentum) * running_var + momentum * unbiased

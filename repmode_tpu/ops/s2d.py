@@ -173,13 +173,26 @@ def _box1d_s2d(xv: jax.Array, k: int, spatial_axis: int, phase_axis: int) -> jax
     return jnp.concatenate(outs, axis=phase_axis)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def avg_pool_same_s2d(x2: jax.Array, k: int, channel_sizes=None) -> jax.Array:
     """k^3 average pool (stride 1, zero 'same' pad) on an s2d-domain tensor.
 
     x2: (N, D, h', w', 4C) phase-major. channel_sizes: native channel widths
     of concatenated s2d segments (e.g. decoder concat of skip+up); each
     segment has its own phase-block layout and pools independently.
+
+    Custom VJP: the native box filter is self-adjoint and s2d is a
+    permutation, so the s2d-domain pool is self-adjoint too — backward is the
+    same pool on the cotangent (the phase-shift chain's transpose otherwise
+    blows up backward memory).
     """
+    return _avg_pool_s2d_impl(x2, k, channel_sizes)
+
+
+def _avg_pool_s2d_impl(x2: jax.Array, k: int, channel_sizes=None) -> jax.Array:
     c4 = x2.shape[-1]
     if channel_sizes is None:
         channel_sizes = (c4 // 4,)
@@ -202,8 +215,23 @@ def avg_pool_same_s2d(x2: jax.Array, k: int, channel_sizes=None) -> jax.Array:
     return out * jnp.asarray(1.0 / k**3, out.dtype)
 
 
+def _avg_pool_s2d_fwd(x2, k, channel_sizes):
+    return _avg_pool_s2d_impl(x2, k, channel_sizes), None
+
+
+def _avg_pool_s2d_bwd(k, channel_sizes, _, g):
+    return (_avg_pool_s2d_impl(g, k, channel_sizes),)
+
+
+avg_pool_same_s2d.defvjp(_avg_pool_s2d_fwd, _avg_pool_s2d_bwd)
+
+
 def downsample_s2d_domain(x2: jax.Array, w2: jax.Array, *, compute_dtype=None) -> jax.Array:
-    """s2d-domain downsample: (N,D,h',w',4C) -> native next level (N,D/2,h',w',Co)."""
+    """s2d-domain downsample: (N,D,h',w',4C) -> native next level (N,D/2,h',w',Co).
+
+    AD-safe dtype policy as conv3d_same: bf16 compute emits bf16 (the conv
+    VJP rejects mixed-dtype operands); fp32 output only in exact mode.
+    """
     from jax import lax
 
     from repmode_tpu.ops.conv3d import DIMNUMS, _cast
@@ -213,5 +241,5 @@ def downsample_s2d_domain(x2: jax.Array, w2: jax.Array, *, compute_dtype=None) -
     return lax.conv_general_dilated(
         x2, w2, (2, 1, 1), "VALID",
         dimension_numbers=DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if compute_dtype is None else None,
     )
