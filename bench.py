@@ -41,11 +41,9 @@ def main():
         eval=EvalConfig(),
     )
 
-    dev = jax.devices()[0]
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     prepare, _ = make_inference(cfg)
     plain = prepare(state.variables, 0)
-    plain = jax.device_put(plain, dev)
 
     rng = np.random.default_rng(0)
     vol = rng.standard_normal(VOL_SHAPE).astype(np.float32)
@@ -53,19 +51,18 @@ def main():
     predictor = TiledPredictor(cfg)
 
     # compile + warmup (fetch an element: block_until_ready is unreliable on
-    # the tunneled platform)
+    # the tunneled platform, so every timed iteration syncs via a scalar
+    # fetch; the output feeds the next input to force sequential execution)
     out = predictor(plain, vol)
     _ = float(out[0, 0, 0])
 
-    # chain volumes through the predictor (output feeds next input) so the
-    # timed region is forced to execute sequentially; one final fetch syncs.
-    n = 3
-    t0 = time.perf_counter()
-    cur = out
-    for _ in range(n):
-        cur = predictor(plain, cur)
-    _ = float(cur[0, 0, 0])
-    best = (time.perf_counter() - t0) / n
+    times = []
+    for _i in range(4):
+        t0 = time.perf_counter()
+        out = predictor(plain, out)
+        _ = float(out[0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    best = sorted(times)[len(times) // 2]  # median
     voxels = float(np.prod(VOL_SHAPE))
     vps = voxels / best
     print(

@@ -52,10 +52,10 @@ class ModelConfig:
     # auto-selected 'single' path when the batch is task-uniform (eval,
     # RepMode.py:210 semantics).
     train_impl: str = "expert_sum"
-    # run narrow-channel expert convs in the space-to-depth domain during
-    # training (ops/s2d.py; exact, differentiable). Off by default pending
-    # on-chip benchmarking of the train step.
-    train_s2d: bool = False
+    # run narrow-channel levels in the space-to-depth domain during training
+    # (ops/s2d.py; exact, differentiable). Required to fit full-scale
+    # training in 16GB HBM (native C=32 layouts pad 4x) and ~3x faster convs.
+    train_s2d: bool = True
     # rematerialize MoDE conv internals in the backward pass (jax.checkpoint):
     # trades ~25% step FLOPs for the activation memory that otherwise OOMs
     # full-scale training on a 16GB chip.
