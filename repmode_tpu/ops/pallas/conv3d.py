@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv_kernel(x_hbm, w_ref, out_ref, x_vmem, sem, *, kd, th, w_len, ci, co,
-                 compute_dtype):
+                 wpad, compute_dtype):
     n = pl.program_id(0)
     d = pl.program_id(1)
     h = pl.program_id(2)
@@ -70,15 +70,18 @@ def pallas_conv3d_same(
         h_tile = h
     assert h % h_tile == 0, (h, h_tile)
 
+    # Mosaic DMA slices must be sublane-aligned: pad W+2 up to a multiple of 8
+    # (the extra right-pad columns are never read by the tap slices).
+    wpad = -(-(wl + 2) // 8) * 8
     xp = jnp.pad(
         x.astype(compute_dtype),
-        ((0, 0), (pad_d, pad_d), (1, 1), (1, 1), (0, 0)),
+        ((0, 0), (pad_d, pad_d), (1, 1), (1, wpad - wl - 1), (0, 0)),
     )
     wc = w.astype(compute_dtype)
 
     kernel = functools.partial(
         _conv_kernel, kd=kd, th=h_tile, w_len=wl, ci=ci, co=co,
-        compute_dtype=compute_dtype,
+        wpad=wpad, compute_dtype=compute_dtype,
     )
     grid = (n, d, h // h_tile)
     flops = 2 * n * d * h * wl * kd * 9 * ci * co
@@ -98,7 +101,7 @@ def pallas_conv3d_same(
         ),
         out_shape=jax.ShapeDtypeStruct((n, d, h, wl, co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((kd, h_tile + 2, wl + 2, ci), compute_dtype),
+            pltpu.VMEM((kd, h_tile + 2, wpad, ci), compute_dtype),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
