@@ -165,3 +165,38 @@ def test_load_torch_checkpoint_roundtrip(tmp_path, golden):
         jax.tree.leaves(variables["params"]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gradient_parity(setup):
+    """jax.grad of the MSE loss matches torch autograd through the whole
+    net (train mode, mixed tasks) — including the expert-sum factorization,
+    BN batch-stat backward, and the down/upsample einsum formulations."""
+    z, cfg, net, variables, x = setup
+    if "grad_loss" not in z.files:
+        pytest.skip("goldens lack gradients (regenerate with tools/gen_goldens.py)")
+    t = jnp.asarray(z["tasks_mixed"].astype(np.int32))
+    target = jnp.asarray(np.transpose(z["grad_target"], (0, 2, 3, 4, 1)))
+
+    def loss_fn(params):
+        out, _ = net.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, t, train=True, mutable=["batch_stats"],
+        )
+        return jnp.mean((out - target) ** 2)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    np.testing.assert_allclose(float(loss), float(z["grad_loss"]), rtol=1e-5)
+
+    ref = convert_state_dict(
+        {k[3:]: z[k] for k in z.files if k.startswith("gr.")}
+    )["params"]
+    flat_ours = jax.tree_util.tree_flatten_with_path(grads)[0]
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref)[0]
+    assert len(flat_ours) == len(flat_ref) and len(flat_ours) > 50
+    for (pa, a), (pb, b) in zip(flat_ours, flat_ref):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        a, b = np.asarray(a), np.asarray(b)
+        # per-leaf normalized error (elementwise rtol is meaningless for
+        # near-zero gradient entries)
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12)
+        assert err < 2e-3, f"{jax.tree_util.keystr(pa)}: {err:.3e}"

@@ -54,15 +54,34 @@ def main():
     with torch.no_grad():
         y_eval = net(xt, torch.from_numpy(tasks_uniform)).numpy()
 
+    # gradient golden LAST: the train-mode grad forward updates running
+    # stats, which must not leak into the eval golden above
+    net.train()
+    target = rng.standard_normal(y_train.shape).astype(np.float32)
+    net.zero_grad()
+    out = net(xt, torch.from_numpy(tasks_mixed))
+    loss = torch.mean((out - torch.from_numpy(target)) ** 2)
+    loss.backward()
+    grads = {
+        name: p.grad.detach().cpu().numpy()
+        for name, p in net.named_parameters()
+        if p.grad is not None
+    }
+    loss_value = float(loss.detach())
+
     out = {
         "x": x,
         "tasks_mixed": tasks_mixed,
         "tasks_uniform": tasks_uniform,
         "y_train": y_train,
         "y_eval": y_eval,
+        "grad_target": target,
+        "grad_loss": np.float32(loss_value),
     }
     for k, v in state_after_train.items():
         out["sd." + k] = v
+    for k, v in grads.items():
+        out["gr." + k] = v
 
     os.makedirs(args.out, exist_ok=True)
     path = os.path.join(args.out, "repmode_small.npz")
