@@ -47,7 +47,9 @@ def main():
     with torch.no_grad():
         y_train = net(xt, torch.from_numpy(tasks_mixed)).numpy()
     # capture running stats AFTER the train forward (they were updated)
-    state_after_train = {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+    state_after_train = {
+        k: v.detach().cpu().numpy().copy() for k, v in net.state_dict().items()
+    }  # .copy(): .numpy() views share storage with buffers the later grad pass mutates
 
     # eval-mode forward (running-stats BN, single merged kernel, uniform task)
     net.eval()
