@@ -56,10 +56,11 @@ class ModelConfig:
     # (ops/s2d.py; exact, differentiable). Required to fit full-scale
     # training in 16GB HBM (native C=32 layouts pad 4x) and ~3x faster convs.
     train_s2d: bool = True
-    # rematerialize MoDE conv internals in the backward pass (jax.checkpoint):
-    # trades ~25% step FLOPs for the activation memory that otherwise OOMs
-    # full-scale training on a 16GB chip.
-    remat: bool = True
+    # rematerialize MoDE conv internals in the backward pass (jax.checkpoint).
+    # With s2d + custom-VJP pools + bf16 residuals the full-scale batch-8
+    # step fits without remat (1136 ms vs 1496 ms with); enable for larger
+    # batches/patches.
+    remat: bool = False
     bn_momentum: float = 0.1     # torch BatchNorm3d default
     bn_eps: float = 1e-5
 
