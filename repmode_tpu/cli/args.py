@@ -9,7 +9,7 @@ can reuse their invocations, plus TPU-native additions (--num_devices,
 from __future__ import annotations
 
 import argparse
-from typing import Optional, Sequence
+from typing import Optional
 
 from repmode_tpu.config import (
     Config,

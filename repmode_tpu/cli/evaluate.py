@@ -9,7 +9,6 @@ checkpoint, eval runs on the test split, metrics written as CSVs).
 
 from __future__ import annotations
 
-import sys
 import time
 
 from repmode_tpu.cli.args import build_parser, to_config

@@ -13,8 +13,6 @@ replacing the reference's torch .pth pickles, SSPdataset.py:90-100).
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 

@@ -30,7 +30,6 @@ same-shaped volumes re-tile for free.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax

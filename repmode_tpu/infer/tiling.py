@@ -10,7 +10,7 @@ shape, so it is computed host-side once and baked into the jitted stitcher.
 from __future__ import annotations
 
 from math import ceil
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

@@ -32,7 +32,6 @@ from repmode_tpu.ops.conv3d import (
 )
 from repmode_tpu.ops.mode import ExpertKernels, expert_bank, gate_logits_to_weights
 from repmode_tpu.ops.s2d import (
-    conv3d_same_s2d_domain,
     depth_to_space_hw,
     downsample_s2d_domain,
     s2d_bias,

@@ -30,7 +30,7 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
-from repmode_tpu.ckpt import CheckpointPolicy, restore_train_state, save_checkpoint
+from repmode_tpu.ckpt import CheckpointPolicy, restore_train_state
 from repmode_tpu.config import Config
 from repmode_tpu.data.sampler import PatchSampler
 from repmode_tpu.data.store import VolumeStore
@@ -40,7 +40,6 @@ from repmode_tpu.models.reparam import make_inference
 from repmode_tpu.parallel import make_mesh, replicate, shard_batch
 from repmode_tpu.train.state import TrainState, create_train_state, param_count
 from repmode_tpu.train.step import make_train_step
-from repmode_tpu.utils.timing import PhaseTimer
 from repmode_tpu.utils.tracking import Tracker
 
 
@@ -162,7 +161,6 @@ def run_experiment(
     logger = logger or logging.getLogger("SSP")
     dirs = ExperimentDirs(cfg)
     tracker = tracker or Tracker(dirs.logs, offline=True)
-    timer = PhaseTimer()
 
     with open(os.path.join(dirs.logs, f"train_options_{cfg.exp_name}.json"), "w") as f:
         f.write(cfg.to_json())
