@@ -36,8 +36,10 @@ def main():
     from repmode_tpu.models.reparam import make_inference
     from repmode_tpu.train.state import create_train_state
 
+    # batch_size_eval 16: measured best on v5e (13.7 vs 13.0 Mvox/s at 8);
+    # the reference's own default (8) remains the framework config default.
     cfg = Config(
-        train=TrainConfig(batch_size_eval=8, compute_dtype="bfloat16"),
+        train=TrainConfig(batch_size_eval=16, compute_dtype="bfloat16"),
         eval=EvalConfig(),
     )
 

@@ -138,3 +138,42 @@ class TestTwoPhasePredictor:
             np.asarray(single({}, vol)), np.asarray(sharded({}, vol)),
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestPredictorComposition:
+    def test_single_patch_volume_equals_direct_forward(self, rng):
+        """A volume exactly one patch big: predictor == plain forward
+        (Gaussian weights cancel in sum/weight division). Composes tiling,
+        gather, forward, and stitch against the network applied directly."""
+        import functools
+        import jax
+        from repmode_tpu.config import Config, DataConfig, EvalConfig, ModelConfig
+        from repmode_tpu.models import build_model
+        from repmode_tpu.models.reparam import make_inference
+
+        cfg = Config(
+            model=ModelConfig(mult_chan=2, depth=2),
+            train=TrainConfig(batch_size_eval=4, compute_dtype="float32"),
+            eval=EvalConfig(patch_size=(8, 16, 16)),
+            data=DataConfig(adopted_datasets=("a", "b")),
+        )
+        net = build_model(cfg)
+        x = jnp.zeros((1, 8, 16, 16, 1))
+        variables = jax.jit(functools.partial(net.init, train=True))(
+            {"params": jax.random.PRNGKey(0)}, x, jnp.zeros((1,), jnp.int32)
+        )
+        prepare, forward = make_inference(cfg)
+        plain = prepare(variables, 1)
+
+        vol = rng.standard_normal((8, 16, 16)).astype(np.float32)
+        pred = TiledPredictor(cfg)
+        stitched = np.asarray(pred(plain, vol))
+        direct = np.asarray(forward(plain, jnp.asarray(vol)[None, ..., None]))[0, ..., 0]
+        np.testing.assert_allclose(stitched, direct, rtol=1e-4, atol=1e-5)
+
+        # and the eval-mode MoDE net agrees too (reparam correctness composed)
+        y_net = np.asarray(
+            net.apply(variables, jnp.asarray(vol)[None, ..., None],
+                      jnp.ones((1,), jnp.int32), train=False)
+        )[0, ..., 0]
+        np.testing.assert_allclose(stitched, y_net, rtol=1e-3, atol=1e-4)
