@@ -84,6 +84,11 @@ class TrainConfig:
     interval_checkpoint: Optional[int] = None           # config.py:58
     # Per-host data parallelism; 1 = single chip.
     num_devices: int = 1
+    # sample training patches on-device from an HBM-resident volume bank
+    # (data/device_sampler.py): zero host work per step. Requires
+    # uniform-shaped volumes; sampling is uniform-with-replacement rather
+    # than the host path's once-per-volume epochs.
+    on_device_pipeline: bool = False
 
 
 @dataclass(frozen=True)

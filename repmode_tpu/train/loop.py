@@ -102,6 +102,43 @@ def run_train_epoch(
     return state, log
 
 
+def run_train_epoch_device(
+    cfg: Config,
+    state: TrainState,
+    step_fn,
+    sample_fn,
+    steps: int,
+    epoch: int,
+    key,
+) -> tuple:
+    """Epoch with the on-device pipeline: jitted sampling feeds the jitted
+    step; no host work inside the loop. `steps` matches the host path's
+    batches-per-epoch so logging cadence is comparable."""
+    t0 = time.perf_counter()
+    num_tasks = cfg.num_tasks
+    pending = []
+    for s in range(steps):
+        sub = jax.random.fold_in(key, epoch * steps + s)
+        state, metrics = step_fn(state, sample_fn(sub))
+        pending.append(metrics)
+
+    loss_sum = 0.0
+    task_sums = np.zeros(num_tasks, np.float64)
+    task_counts = np.zeros(num_tasks, np.float64)
+    for metrics in pending:
+        loss_sum += float(metrics["loss"])
+        task_sums += np.asarray(metrics["per_task_loss_sum"], np.float64)
+        task_counts += np.asarray(metrics["per_task_count"], np.float64)
+
+    state = state.replace(epoch=state.epoch + 1)
+    log = {"X-axis/epoch": epoch + 1, "loss/epoch": loss_sum / max(steps, 1)}
+    for i, name in enumerate(cfg.data.adopted_datasets):
+        if task_counts[i] > 0:
+            log[f"loss_epoch/{name}"] = task_sums[i] / task_counts[i]
+    log["time/train"] = time.perf_counter() - t0
+    return state, log
+
+
 def run_eval_pass(
     cfg: Config,
     state: TrainState,
@@ -183,13 +220,34 @@ def run_experiment(
         state = replicate(mesh, state)
 
     step_fn = make_train_step(cfg)
-    sampler = PatchSampler(
-        stores["train"],
-        cfg.train.batch_size,
-        cfg.train.patch_size,
-        seed=cfg.train.seed,
-        flip_prob=cfg.train.random_flip_prob,
-    ) if "train" in stores and len(stores["train"]) else None
+    sampler = None
+    device_sample = None
+    steps_per_epoch = 0
+    if "train" in stores and len(stores["train"]):
+        if cfg.train.on_device_pipeline:
+            from repmode_tpu.data.device_sampler import (
+                DeviceVolumeBank,
+                make_device_sampler,
+            )
+
+            bank = DeviceVolumeBank.from_store(stores["train"])
+            device_sample = make_device_sampler(
+                bank, cfg.train.batch_size, cfg.train.patch_size,
+                cfg.train.random_flip_prob,
+            )
+            steps_per_epoch = -(-len(stores["train"]) // cfg.train.batch_size)
+            logger.info(
+                f"[DATA]    On-device pipeline: bank of {bank.num_volumes} "
+                f"volumes {bank.vol_shape} in HBM"
+            )
+        else:
+            sampler = PatchSampler(
+                stores["train"],
+                cfg.train.batch_size,
+                cfg.train.patch_size,
+                seed=cfg.train.seed,
+                flip_prob=cfg.train.random_flip_prob,
+            )
     predictor = TiledPredictor(cfg)
     policy = CheckpointPolicy(cfg, dirs.checkpoints)
 
@@ -198,14 +256,24 @@ def run_experiment(
     # trained epoch (SURVEY.md §5.1: profiling as a first-class module).
     profile_dir = os.environ.get("REPMODE_PROFILE_DIR")
     start_epoch = int(state.epoch)
+    sample_key = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    def train_one_epoch(state, epoch):
+        if device_sample is not None:
+            return run_train_epoch_device(
+                cfg, state, step_fn, device_sample, steps_per_epoch, epoch,
+                sample_key,
+            )
+        return run_train_epoch(cfg, state, step_fn, sampler, epoch, mesh)
+
     for epoch in range(start_epoch, cfg.train.num_epochs):
         if profile_dir and epoch == start_epoch:
             from repmode_tpu.utils.timing import profile_trace
 
             with profile_trace(profile_dir):
-                state, log = run_train_epoch(cfg, state, step_fn, sampler, epoch, mesh)
+                state, log = train_one_epoch(state, epoch)
         else:
-            state, log = run_train_epoch(cfg, state, step_fn, sampler, epoch, mesh)
+            state, log = train_one_epoch(state, epoch)
         logger.info(
             "[TRAIN]   NO.{} epoch training | loss: {:.6f}".format(
                 epoch + 1, log["loss/epoch"]

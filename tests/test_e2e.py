@@ -86,3 +86,20 @@ def test_zero_epoch_smoke(tiny_setup, tmp_path):
     results = run_experiment(cfg, stores)
     assert results["best_path"] is None
     assert "test_log" in results
+
+
+def test_on_device_pipeline_experiment(tiny_setup, tmp_path):
+    """Full experiment with the HBM-resident on-device patch pipeline."""
+    cfg, stores = tiny_setup
+    cfg = cfg.replace(
+        train=cfg.train.__class__(
+            num_epochs=1, batch_size=2, batch_size_eval=4,
+            patch_size=(8, 16, 16), interval_val=1, compute_dtype="float32",
+            on_device_pipeline=True,
+        ),
+        path_exp_dir=str(tmp_path / "exp_dev"),
+        exp_name="exp_dev",
+    )
+    results = run_experiment(cfg, stores)
+    assert results["best_path"] is not None
+    assert np.isfinite(results["test_log"]["metric_test/MSE"])
