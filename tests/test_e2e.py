@@ -103,3 +103,30 @@ def test_on_device_pipeline_experiment(tiny_setup, tmp_path):
     results = run_experiment(cfg, stores)
     assert results["best_path"] is not None
     assert np.isfinite(results["test_log"]["metric_test/MSE"])
+
+
+def test_resume_from_checkpoint(tiny_setup, tmp_path):
+    """Crash-resume: restoring a checkpoint continues from count_epoch
+    (reference main.py:157-158 + fnet_model.load_state)."""
+    cfg, stores = tiny_setup
+    base = cfg.train.__class__(
+        num_epochs=1, batch_size=2, batch_size_eval=4,
+        patch_size=(8, 16, 16), interval_val=1, compute_dtype="float32",
+    )
+    cfg1 = cfg.replace(train=base, path_exp_dir=str(tmp_path / "r1"), exp_name="r1")
+    r1 = run_experiment(cfg1, stores)
+    assert r1["best_path"] is not None
+    step_after_1 = int(r1["state"].step)
+
+    # resume with a larger horizon: should train exactly one more epoch
+    cfg2 = cfg1.replace(
+        train=base.__class__(
+            num_epochs=2, batch_size=2, batch_size_eval=4,
+            patch_size=(8, 16, 16), interval_val=1, compute_dtype="float32",
+        ),
+        path_exp_dir=str(tmp_path / "r2"), exp_name="r2",
+        path_load_model=r1["best_path"],
+    )
+    r2 = run_experiment(cfg2, stores)
+    assert int(r2["state"].epoch) == 2
+    assert int(r2["state"].step) == 2 * step_after_1
