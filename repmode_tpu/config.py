@@ -105,6 +105,9 @@ class EvalConfig:
     # 'fused' = one program per volume; 'two_phase' = forward-all then stitch
     # (decoupled layouts; shardable patch grid)
     predictor: str = "fused"
+    # hand-written double-buffered Pallas kernel for the s2d-domain convs
+    # (ops/pallas/conv3d.py; measured ~12% over XLA on v5e, bit-exact).
+    pallas_conv: bool = False
 
 
 @dataclass(frozen=True)

@@ -60,10 +60,15 @@ class VolumeStore:
         datasets = tuple(adopted_datasets or manifest["adopted_datasets"])
         records: List[VolumeRecord] = []
         for entry in manifest["volumes"]:
+            ds = entry["dataset"]
+            if ds not in datasets:
+                # single/multi-task filtering at load time (the reference's
+                # fliter_one_cat_data, SSPdataset.py:102-114 — Multi-Net
+                # baselines train on one task of a full manifest)
+                continue
             z = np.load(os.path.join(path, entry["file"]))
             signal = z["signal"].astype(np.float32)
             target = z["target"].astype(np.float32) if "target" in z.files else None
-            ds = entry["dataset"]
             records.append(
                 VolumeRecord(
                     signal=signal,

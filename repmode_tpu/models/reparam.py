@@ -183,17 +183,36 @@ def plain_forward_s2d(
     s2d_levels: tuple,
     *,
     compute_dtype: Optional[jnp.dtype] = None,
+    pallas_conv: bool = False,
 ) -> jax.Array:
     """Run the re-parameterized net with s2d execution on `s2d_levels`.
 
     `plain` must come from to_s2d_plain with the same levels. Produces the
-    same function as plain_forward (fp reassociation aside).
+    same function as plain_forward (fp reassociation aside). pallas_conv
+    routes the s2d-domain (kD,3,3) convs through the hand-written
+    double-buffered kernel (ops/pallas/conv3d.py).
     """
     cdt = compute_dtype
     s2d = set(s2d_levels)
 
+    def _conv(h, w):
+        # Pallas path: (kD,3,3) taps with lane-aligned channels (Mosaic DMA
+        # slices need the lane dim % 128). The 4-channel edge convs (image
+        # input, final output) fall back to XLA — negligible FLOPs.
+        if (
+            pallas_conv
+            and w.shape[1] == 3 and w.shape[2] == 3
+            and w.shape[3] % 128 == 0 and w.shape[4] % 128 == 0
+        ):
+            from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_same
+
+            return pallas_conv3d_same(
+                h, w, compute_dtype=cdt or jnp.float32
+            )
+        return conv3d_same(h, w, compute_dtype=cdt)
+
     def cbr(h, w, b):
-        return jax.nn.relu(conv3d_same(h, w, compute_dtype=cdt) + b)
+        return jax.nn.relu(_conv(h, w) + b)
 
     def run_subnet(h, blk):
         return cbr(cbr(h, blk["conv1_w"], blk["conv1_b"]), blk["conv2_w"], blk["conv2_b"])
@@ -282,7 +301,8 @@ def make_inference(cfg) -> tuple:
 
     if levels:
         forward = functools.partial(
-            plain_forward_s2d, cfg=cfg.model, s2d_levels=levels, compute_dtype=cdt
+            plain_forward_s2d, cfg=cfg.model, s2d_levels=levels,
+            compute_dtype=cdt, pallas_conv=cfg.eval.pallas_conv
         )
     else:
         forward = functools.partial(plain_forward, cfg=cfg.model, compute_dtype=cdt)

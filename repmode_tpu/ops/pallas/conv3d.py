@@ -27,26 +27,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(x_hbm, w_ref, out_ref, x_vmem, sem, *, kd, th, w_len, ci, co,
+def _conv_kernel(x_hbm, w_ref, out_ref, x_vmem, sems, *, kd, th, w_len, ci, co,
                  wpad, compute_dtype):
+    """Double-buffered: while step k computes from slot k%2, the DMA for
+    step k+1's halo slab streams into the other slot."""
     n = pl.program_id(0)
     d = pl.program_id(1)
     h = pl.program_id(2)
+    nd = pl.num_programs(1)
+    nh = pl.num_programs(2)
+    step = (n * nd + d) * nh + h
+    total = pl.num_programs(0) * nd * nh
+    slot = jax.lax.rem(step, 2)
+    nxt_slot = jax.lax.rem(step + 1, 2)
 
-    # DMA the halo slab (kd, th+2, w_len+2, ci) for this (n, d, h-tile).
-    cp = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(d, kd), pl.ds(h * th, th + 2)],
-        x_vmem,
-        sem,
-    )
-    cp.start()
-    cp.wait()
+    def dma_for(nn, dd, hh, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[nn, pl.ds(dd, kd), pl.ds(hh * th, th + 2)],
+            x_vmem.at[s],
+            sems.at[s],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma_for(n, d, h, slot).start()
+
+    # prefetch the next grid step's slab (grid iterates h fastest, then d, n)
+    @pl.when(step + 1 < total)
+    def _():
+        nstep = step + 1
+        nh_i = jax.lax.rem(nstep, nh)
+        nd_i = jax.lax.rem(nstep // nh, nd)
+        nn_i = nstep // (nh * nd)
+        dma_for(nn_i, nd_i, nh_i, nxt_slot).start()
+
+    dma_for(n, d, h, slot).wait()
 
     acc = jnp.zeros((th * w_len, co), jnp.float32)
     for dz in range(kd):
         for dy in range(3):
             for dx in range(3):
-                a = x_vmem[dz, dy : dy + th, dx : dx + w_len, :]
+                a = x_vmem[slot, dz, dy : dy + th, dx : dx + w_len, :]
                 a = a.reshape(th * w_len, ci).astype(compute_dtype)
                 wk = w_ref[dz, dy, dx].astype(compute_dtype)
                 acc = acc + jnp.dot(a, wk, preferred_element_type=jnp.float32)
@@ -67,7 +88,21 @@ def pallas_conv3d_same(
     assert (kh, kw) == (3, 3) and wci == ci, (w.shape, x.shape)
     pad_d = (kd - 1) // 2
     if h_tile <= 0:
-        h_tile = h
+        # largest divisor of H whose double-buffered footprint fits VMEM
+        wpad_est = -(-(wl + 2) // 8) * 8
+        budget = 12 * 1024 * 1024
+        h_tile = 1
+        for cand in range(h, 0, -1):
+            if h % cand:
+                continue
+            footprint = (
+                2 * kd * (cand + 2) * wpad_est * ci * 2   # slabs (bf16)
+                + cand * wl * co * 4                       # out tile (fp32)
+                + kd * 9 * ci * co * 2                     # weights
+            )
+            if footprint <= budget:
+                h_tile = cand
+                break
     assert h % h_tile == 0, (h, h_tile)
 
     # Mosaic DMA slices must be sublane-aligned: pad W+2 up to a multiple of 8
@@ -101,8 +136,8 @@ def pallas_conv3d_same(
         ),
         out_shape=jax.ShapeDtypeStruct((n, d, h, wl, co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((kd, h_tile + 2, wpad, ci), compute_dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, kd, h_tile + 2, wpad, ci), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * 2 + w.size * 2, transcendentals=0

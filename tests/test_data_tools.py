@@ -119,3 +119,14 @@ class TestSampler:
         for b1, b2 in zip(s1.epoch(), s2.epoch()):
             np.testing.assert_array_equal(b1["signal"], b2["signal"])
             np.testing.assert_array_equal(b1["task"], b2["task"])
+
+
+class TestStoreFiltering:
+    def test_load_with_subset_filters(self, tmp_path):
+        """Loading a multi-task manifest with a filtered dataset list keeps
+        only matching volumes (Multi-Net baseline workflow)."""
+        store = synthetic_store(("a", "b", "c"), volumes_per_task=2, vol_shape=(8, 12, 12))
+        store.save(str(tmp_path), "train")
+        only_b = VolumeStore.load(str(tmp_path), "train", adopted_datasets=("b",))
+        assert len(only_b) == 2
+        assert all(r.dataset == "b" and r.task == 0 for r in only_b.records)
