@@ -195,23 +195,33 @@ def plain_forward_s2d(
     cdt = compute_dtype
     s2d = set(s2d_levels)
 
-    def _conv(h, w):
-        # Pallas path: (kD,3,3) taps with lane-aligned channels (Mosaic DMA
-        # slices need the lane dim % 128). The 4-channel edge convs (image
-        # input, final output) fall back to XLA — negligible FLOPs.
-        if (
+    def _pallas_ok(w):
+        # (kD,3,3) taps with lane-aligned channels (Mosaic DMA slices need
+        # the lane dim % 128). The 4-channel edge convs (image input, final
+        # output) fall back to XLA — negligible FLOPs.
+        return (
             pallas_conv
             and w.shape[1] == 3 and w.shape[2] == 3
             and w.shape[3] % 128 == 0 and w.shape[4] % 128 == 0
-        ):
+        )
+
+    def _conv(h, w):
+        if _pallas_ok(w):
             from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_same
 
-            return pallas_conv3d_same(
-                h, w, compute_dtype=cdt or jnp.float32
-            )
+            return pallas_conv3d_same(h, w, compute_dtype=cdt or jnp.float32)
         return conv3d_same(h, w, compute_dtype=cdt)
 
     def cbr(h, w, b):
+        if _pallas_ok(w):
+            from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_same
+
+            # fused conv+bias+ReLU epilogue in-kernel
+            return pallas_conv3d_same(
+                h, w, b, relu=True,
+                compute_dtype=cdt or jnp.float32,
+                out_dtype=cdt or jnp.float32,
+            )
         return jax.nn.relu(_conv(h, w) + b)
 
     def run_subnet(h, blk):

@@ -74,15 +74,72 @@ def _conv_kernel(x_hbm, w_ref, out_ref, x_vmem, sems, *, kd, th, w_len, ci, co,
     out_ref[0, 0] = acc.reshape(th, w_len, co)
 
 
+def _conv_bias_relu_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sems, *, kd,
+                           th, w_len, ci, co, wpad, compute_dtype, relu,
+                           out_dtype):
+    """Same as _conv_kernel with a fused bias(+ReLU) epilogue — the pointwise
+    pass XLA cannot fuse into a custom call happens in-register here."""
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+    h = pl.program_id(2)
+    nd = pl.num_programs(1)
+    nh = pl.num_programs(2)
+    step = (n * nd + d) * nh + h
+    total = pl.num_programs(0) * nd * nh
+    slot = jax.lax.rem(step, 2)
+    nxt_slot = jax.lax.rem(step + 1, 2)
+
+    def dma_for(nn, dd, hh, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[nn, pl.ds(dd, kd), pl.ds(hh * th, th + 2)],
+            x_vmem.at[s],
+            sems.at[s],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma_for(n, d, h, slot).start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        nstep = step + 1
+        nh_i = jax.lax.rem(nstep, nh)
+        nd_i = jax.lax.rem(nstep // nh, nd)
+        nn_i = nstep // (nh * nd)
+        dma_for(nn_i, nd_i, nh_i, nxt_slot).start()
+
+    dma_for(n, d, h, slot).wait()
+
+    acc = jnp.zeros((th * w_len, co), jnp.float32)
+    for dz in range(kd):
+        for dy in range(3):
+            for dx in range(3):
+                a = x_vmem[slot, dz, dy : dy + th, dx : dx + w_len, :]
+                a = a.reshape(th * w_len, ci).astype(compute_dtype)
+                wk = w_ref[dz, dy, dx].astype(compute_dtype)
+                acc = acc + jnp.dot(a, wk, preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0].astype(jnp.float32)[None, :]
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    out_ref[0, 0] = acc.reshape(th, w_len, co).astype(out_dtype)
+
+
 def pallas_conv3d_same(
     x: jax.Array,
     w: jax.Array,
+    bias: "jax.Array | None" = None,
     *,
+    relu: bool = False,
     h_tile: int = 0,
     compute_dtype=jnp.bfloat16,
+    out_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jax.Array:
-    """'same' conv for kernels (kD, 3, 3). x: (N,D,H,W,Ci) -> (N,D,H,W,Co) fp32."""
+    """'same' conv for kernels (kD, 3, 3). x: (N,D,H,W,Ci) -> (N,D,H,W,Co).
+
+    With `bias` (shape (Co,)) and/or `relu`, the pointwise epilogue fuses
+    into the kernel (out = relu(conv + bias)), emitted in `out_dtype`.
+    """
     n, d, h, wl, ci = x.shape
     kd, kh, kw, wci, co = w.shape
     assert (kh, kw) == (3, 3) and wci == ci, (w.shape, x.shape)
@@ -114,33 +171,47 @@ def pallas_conv3d_same(
     )
     wc = w.astype(compute_dtype)
 
-    kernel = functools.partial(
-        _conv_kernel, kd=kd, th=h_tile, w_len=wl, ci=ci, co=co,
-        wpad=wpad, compute_dtype=compute_dtype,
-    )
     grid = (n, d, h // h_tile)
     flops = 2 * n * d * h * wl * kd * 9 * ci * co
+    common = dict(
+        kd=kd, th=h_tile, w_len=wl, ci=ci, co=co, wpad=wpad,
+        compute_dtype=compute_dtype,
+    )
+    x_spec = pl.BlockSpec(memory_space=pl.ANY)  # manual DMA (halo slabs)
+    w_spec = pl.BlockSpec(
+        (kd, 3, 3, ci, co), lambda n_, d_, h_: (0, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, h_tile, wl, co), lambda n_, d_, h_: (n_, d_, h_, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    scratch = [
+        pltpu.VMEM((2, kd, h_tile + 2, wpad, ci), compute_dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    cost = pl.CostEstimate(
+        flops=flops, bytes_accessed=x.size * 2 + w.size * 2, transcendentals=0
+    )
+
+    if bias is None and not relu:
+        kernel = functools.partial(_conv_kernel, **common)
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=[x_spec, w_spec], out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n, d, h, wl, co), jnp.float32),
+            scratch_shapes=scratch, cost_estimate=cost, interpret=interpret,
+        )(xp, wc)
+
+    b = jnp.zeros((co,), jnp.float32) if bias is None else bias
+    b = b.astype(jnp.float32).reshape(1, co)
+    kernel = functools.partial(
+        _conv_bias_relu_kernel, relu=relu, out_dtype=out_dtype, **common
+    )
+    b_spec = pl.BlockSpec(
+        (1, co), lambda n_, d_, h_: (0, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # manual DMA (halo slabs)
-            pl.BlockSpec(
-                (kd, 3, 3, ci, co), lambda n_, d_, h_: (0, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, h_tile, wl, co), lambda n_, d_, h_: (n_, d_, h_, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, d, h, wl, co), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, kd, h_tile + 2, wpad, ci), compute_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=x.size * 2 + w.size * 2, transcendentals=0
-        ),
-        interpret=interpret,
-    )(xp, wc)
+        kernel, grid=grid, in_specs=[x_spec, w_spec, b_spec], out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, d, h, wl, co), out_dtype),
+        scratch_shapes=scratch, cost_estimate=cost, interpret=interpret,
+    )(xp, wc, b)

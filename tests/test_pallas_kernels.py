@@ -68,3 +68,25 @@ class TestPallasMerge:
         full = pallas_merge_kernels(logits, bank, tap_tile=r, interpret=True)
         tiled = pallas_merge_kernels(logits, bank, tap_tile=16, interpret=True)
         np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), rtol=1e-6)
+
+
+class TestFusedEpilogue:
+    def test_bias_relu_fusion_matches(self, rng):
+        n, d, h, w, ci, co = 1, 3, 8, 8, 4, 8
+        x = arr(rng, (n, d, h, w, ci))
+        wk = arr(rng, (3, 3, 3, ci, co))
+        b = arr(rng, (co,), 1.0)
+        ref = jax.nn.relu(conv3d_same(x, wk) + b)
+        out = pallas_conv3d_same(
+            x, wk, b, relu=True, compute_dtype=jnp.float32, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def test_bias_only(self, rng):
+        n, d, h, w, ci, co = 1, 3, 8, 8, 4, 8
+        x = arr(rng, (n, d, h, w, ci))
+        wk = arr(rng, (5, 3, 3, ci, co))
+        b = arr(rng, (co,), 1.0)
+        ref = conv3d_same(x, wk) + b
+        out = pallas_conv3d_same(x, wk, b, compute_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
