@@ -22,4 +22,14 @@ Layering (see SURVEY.md section 7):
 
 from repmode_tpu.version import __version__
 
-__all__ = ["__version__"]
+# Convenience top-level API (lazy-import-free essentials)
+from repmode_tpu.config import Config, DataConfig, EvalConfig, ModelConfig, TrainConfig
+
+__all__ = [
+    "__version__",
+    "Config",
+    "ModelConfig",
+    "TrainConfig",
+    "EvalConfig",
+    "DataConfig",
+]
