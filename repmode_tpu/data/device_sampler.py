@@ -93,15 +93,20 @@ def make_device_sampler(
         return sig, tgt, tasks[vidx]
 
     @jax.jit
-    def sample(key) -> Dict[str, jax.Array]:
+    def _sample(signals, targets, tasks, key) -> Dict[str, jax.Array]:
         keys = jax.random.split(key, batch_size)
         sig, tgt, task = jax.vmap(
-            functools.partial(_sample_one, bank.signals, bank.targets, bank.tasks)
+            functools.partial(_sample_one, signals, targets, tasks)
         )(keys)
         return {
             "signal": sig[..., None],
             "target": tgt[..., None],
             "task": task,
         }
+
+    def sample(key) -> Dict[str, jax.Array]:
+        # bank arrays are jit ARGUMENTS: closing over them would bake the
+        # whole bank into the program as constants (hundreds of MB of HLO)
+        return _sample(bank.signals, bank.targets, bank.tasks, key)
 
     return sample
