@@ -248,7 +248,11 @@ def run_experiment(
                 seed=cfg.train.seed,
                 flip_prob=cfg.train.random_flip_prob,
             )
-    predictor = TiledPredictor(cfg)
+    # under DP with the two_phase predictor, eval shards the patch grid
+    # across the same mesh (infer/predict.py)
+    predictor = TiledPredictor(
+        cfg, mesh=mesh if cfg.eval.predictor == "two_phase" else None
+    )
     policy = CheckpointPolicy(cfg, dirs.checkpoints)
 
     # epoch loop (main.py:156-199)

@@ -126,3 +126,33 @@ class TestDataParallel:
         batch = make_batch(rng, cfg, n=8)
         sharded = shard_batch(mesh, batch)
         assert len(sharded["signal"].sharding.device_set) == 8
+
+
+class TestDistributedEval:
+    def test_dp_experiment_with_sharded_eval(self, rng, tmp_path):
+        """Full experiment: 8-device DP training + two_phase sharded eval."""
+        from repmode_tpu.config import Config, DataConfig, EvalConfig, ModelConfig
+        from repmode_tpu.data import synthetic_store
+        from repmode_tpu.train.loop import run_experiment
+
+        datasets = ("a", "b")
+        cfg = Config(
+            model=ModelConfig(mult_chan=2, depth=2),
+            train=TrainConfig(
+                num_epochs=1, batch_size=8, batch_size_eval=4,
+                patch_size=(8, 16, 16), interval_val=1,
+                compute_dtype="float32", num_devices=8,
+            ),
+            eval=EvalConfig(patch_size=(8, 16, 16), predictor="two_phase"),
+            data=DataConfig(adopted_datasets=datasets),
+            path_exp_dir=str(tmp_path / "dp_exp"),
+            exp_name="dp_exp",
+        )
+        stores = {
+            split: synthetic_store(datasets, volumes_per_task=2,
+                                   vol_shape=(8, 24, 24), seed=i)
+            for i, split in enumerate(["train", "val", "test"])
+        }
+        results = run_experiment(cfg, stores)
+        assert results["best_path"] is not None
+        assert np.isfinite(results["test_log"]["metric_test/MSE"])
