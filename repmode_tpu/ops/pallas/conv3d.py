@@ -27,8 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(x_hbm, w_ref, out_ref, x_vmem, sems, *, kd, th, w_len, ci, co,
-                 wpad, compute_dtype):
+def _conv_kernel(x_hbm, w_ref, out_ref, x_vmem, sems, *, kd, kh, kw, th,
+                 w_len, ci, co, wpad, compute_dtype):
     """Double-buffered: while step k computes from slot k%2, the DMA for
     step k+1's halo slab streams into the other slot."""
     n = pl.program_id(0)
@@ -43,7 +43,7 @@ def _conv_kernel(x_hbm, w_ref, out_ref, x_vmem, sems, *, kd, th, w_len, ci, co,
 
     def dma_for(nn, dd, hh, s):
         return pltpu.make_async_copy(
-            x_hbm.at[nn, pl.ds(dd, kd), pl.ds(hh * th, th + 2)],
+            x_hbm.at[nn, pl.ds(dd, kd), pl.ds(hh * th, th + kh - 1)],
             x_vmem.at[s],
             sems.at[s],
         )
@@ -65,8 +65,8 @@ def _conv_kernel(x_hbm, w_ref, out_ref, x_vmem, sems, *, kd, th, w_len, ci, co,
 
     acc = jnp.zeros((th * w_len, co), jnp.float32)
     for dz in range(kd):
-        for dy in range(3):
-            for dx in range(3):
+        for dy in range(kh):
+            for dx in range(kw):
                 a = x_vmem[slot, dz, dy : dy + th, dx : dx + w_len, :]
                 a = a.reshape(th * w_len, ci).astype(compute_dtype)
                 wk = w_ref[dz, dy, dx].astype(compute_dtype)
@@ -75,8 +75,8 @@ def _conv_kernel(x_hbm, w_ref, out_ref, x_vmem, sems, *, kd, th, w_len, ci, co,
 
 
 def _conv_bias_relu_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sems, *, kd,
-                           th, w_len, ci, co, wpad, compute_dtype, relu,
-                           out_dtype):
+                           kh, kw, th, w_len, ci, co, wpad, compute_dtype,
+                           relu, out_dtype):
     """Same as _conv_kernel with a fused bias(+ReLU) epilogue — the pointwise
     pass XLA cannot fuse into a custom call happens in-register here."""
     n = pl.program_id(0)
@@ -91,7 +91,7 @@ def _conv_bias_relu_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sems, *, kd,
 
     def dma_for(nn, dd, hh, s):
         return pltpu.make_async_copy(
-            x_hbm.at[nn, pl.ds(dd, kd), pl.ds(hh * th, th + 2)],
+            x_hbm.at[nn, pl.ds(dd, kd), pl.ds(hh * th, th + kh - 1)],
             x_vmem.at[s],
             sems.at[s],
         )
@@ -112,8 +112,8 @@ def _conv_bias_relu_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sems, *, kd,
 
     acc = jnp.zeros((th * w_len, co), jnp.float32)
     for dz in range(kd):
-        for dy in range(3):
-            for dx in range(3):
+        for dy in range(kh):
+            for dx in range(kw):
                 a = x_vmem[slot, dz, dy : dy + th, dx : dx + w_len, :]
                 a = a.reshape(th * w_len, ci).astype(compute_dtype)
                 wk = w_ref[dz, dy, dx].astype(compute_dtype)
@@ -135,51 +135,53 @@ def pallas_conv3d_same(
     out_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jax.Array:
-    """'same' conv for kernels (kD, 3, 3). x: (N,D,H,W,Ci) -> (N,D,H,W,Co).
+    """'same' conv for odd (kD, kH, kW) kernels. x: (N,D,H,W,Ci) -> (N,D,H,W,Co).
 
     With `bias` (shape (Co,)) and/or `relu`, the pointwise epilogue fuses
     into the kernel (out = relu(conv + bias)), emitted in `out_dtype`.
     """
     n, d, h, wl, ci = x.shape
     kd, kh, kw, wci, co = w.shape
-    assert (kh, kw) == (3, 3) and wci == ci, (w.shape, x.shape)
+    assert kh % 2 == 1 and kw % 2 == 1 and wci == ci, (w.shape, x.shape)
     pad_d = (kd - 1) // 2
+    pad_h = (kh - 1) // 2
+    pad_w = (kw - 1) // 2
     if h_tile <= 0:
         # largest divisor of H whose double-buffered footprint fits VMEM
-        wpad_est = -(-(wl + 2) // 8) * 8
+        wpad_est = -(-(wl + kw - 1) // 8) * 8
         budget = 12 * 1024 * 1024
         h_tile = 1
         for cand in range(h, 0, -1):
             if h % cand:
                 continue
             footprint = (
-                2 * kd * (cand + 2) * wpad_est * ci * 2   # slabs (bf16)
-                + cand * wl * co * 4                       # out tile (fp32)
-                + kd * 9 * ci * co * 2                     # weights
+                2 * kd * (cand + kh - 1) * wpad_est * ci * 2  # slabs (bf16)
+                + cand * wl * co * 4                          # out tile (fp32)
+                + kd * kh * kw * ci * co * 2                  # weights
             )
             if footprint <= budget:
                 h_tile = cand
                 break
     assert h % h_tile == 0, (h, h_tile)
 
-    # Mosaic DMA slices must be sublane-aligned: pad W+2 up to a multiple of 8
-    # (the extra right-pad columns are never read by the tap slices).
-    wpad = -(-(wl + 2) // 8) * 8
+    # Mosaic DMA slices must be sublane-aligned: pad W+kw-1 up to a multiple
+    # of 8 (the extra right-pad columns are never read by the tap slices).
+    wpad = -(-(wl + kw - 1) // 8) * 8
     xp = jnp.pad(
         x.astype(compute_dtype),
-        ((0, 0), (pad_d, pad_d), (1, 1), (1, wpad - wl - 1), (0, 0)),
+        ((0, 0), (pad_d, pad_d), (pad_h, pad_h), (pad_w, wpad - wl - pad_w), (0, 0)),
     )
     wc = w.astype(compute_dtype)
 
     grid = (n, d, h // h_tile)
-    flops = 2 * n * d * h * wl * kd * 9 * ci * co
+    flops = 2 * n * d * h * wl * kd * kh * kw * ci * co
     common = dict(
-        kd=kd, th=h_tile, w_len=wl, ci=ci, co=co, wpad=wpad,
+        kd=kd, kh=kh, kw=kw, th=h_tile, w_len=wl, ci=ci, co=co, wpad=wpad,
         compute_dtype=compute_dtype,
     )
     x_spec = pl.BlockSpec(memory_space=pl.ANY)  # manual DMA (halo slabs)
     w_spec = pl.BlockSpec(
-        (kd, 3, 3, ci, co), lambda n_, d_, h_: (0, 0, 0, 0, 0),
+        (kd, kh, kw, ci, co), lambda n_, d_, h_: (0, 0, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
@@ -187,7 +189,7 @@ def pallas_conv3d_same(
         memory_space=pltpu.VMEM,
     )
     scratch = [
-        pltpu.VMEM((2, kd, h_tile + 2, wpad, ci), compute_dtype),
+        pltpu.VMEM((2, kd, h_tile + kh - 1, wpad, ci), compute_dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     cost = pl.CostEstimate(

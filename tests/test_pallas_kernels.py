@@ -90,3 +90,14 @@ class TestFusedEpilogue:
         ref = conv3d_same(x, wk) + b
         out = pallas_conv3d_same(x, wk, b, compute_dtype=jnp.float32, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+class TestGeneralKernelSizes:
+    @pytest.mark.parametrize("kd,kh,kw", [(5, 5, 5), (3, 5, 3), (1, 3, 5)])
+    def test_odd_tap_counts(self, rng, kd, kh, kw):
+        n, d, h, w, ci, co = 1, 4, 8, 8, 4, 8
+        x = arr(rng, (n, d, h, w, ci))
+        wk = arr(rng, (kd, kh, kw, ci, co))
+        ref = conv3d_same(x, wk)
+        out = pallas_conv3d_same(x, wk, compute_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
