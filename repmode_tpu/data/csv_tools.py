@@ -27,9 +27,16 @@ def split_dataset(
     seed: int = 42,
     shuffle: bool = True,
     names=("train", "test"),
+    name: Optional[str] = None,
 ) -> Optional[tuple]:
-    """Shuffle + head/tail split of one dataset CSV into <dst>/<name>/{a,b}.csv."""
-    name = os.path.basename(src_csv).split(".")[0]
+    """Shuffle + head/tail split of one dataset CSV into <dst>/<name>/{a,b}.csv.
+
+    `name` overrides the dataset-directory name; the train/val pass must pass
+    the dataset name explicitly because its src is `<ds>/train.csv` (the
+    reference's split_dataset_val.py derives it as src.split('/')[-2]).
+    """
+    if name is None:
+        name = os.path.basename(src_csv).split(".")[0]
     out_dir = os.path.join(dst_dir, name)
     path_a = os.path.join(out_dir, f"{names[0]}.csv")
     path_b = os.path.join(out_dir, f"{names[1]}.csv")

@@ -5,7 +5,7 @@ for name in beta_actin myosin_iib membrane_caax_63x desmoplakin sec61_beta \
   python - "$name" <<'PY'
 import sys
 from repmode_tpu.data.csv_tools import split_dataset
-split_dataset(f"data/csvs/{sys.argv[1]}/train.csv", f"data/csvs/{sys.argv[1]}",
-              train_size=0.9, names=("train", "val"))
+split_dataset(f"data/csvs/{sys.argv[1]}/train.csv", "data/csvs",
+              train_size=0.9, names=("train", "val"), name=sys.argv[1])
 PY
 done
