@@ -9,6 +9,7 @@ checkpoint, eval runs on the test split, metrics written as CSVs).
 
 from __future__ import annotations
 
+import json
 import time
 
 from repmode_tpu.cli.args import build_parser, to_config
@@ -29,8 +30,9 @@ def main(argv=None):
 
     dirs = ExperimentDirs(cfg)
     logger = setup_logger(dirs.logs, cfg.exp_name)
-    tracker = Tracker(dirs.logs, run_name=cfg.run_name, offline=cfg.debugging,
-                      run_id=ns.id)
+    tracker = Tracker(dirs.logs, run_name=cfg.run_name,
+                      config=json.loads(cfg.to_json()),
+                      offline=cfg.debugging, run_id=ns.id)
 
     # model
     if ns.torch_checkpoint:

@@ -6,6 +6,7 @@
 
 from __future__ import annotations
 
+import json
 import random
 import time
 
@@ -72,7 +73,7 @@ def main(argv=None):
     tracker = Tracker(
         dirs.logs,
         run_name=cfg.run_name,
-        config=None,
+        config=json.loads(cfg.to_json()),
         tags=cfg.tags,
         offline=cfg.debugging or cfg.exp_name == "integ_dataset",
         run_id=ns.id,

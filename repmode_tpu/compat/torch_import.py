@@ -47,7 +47,12 @@ def _convt_w(a: np.ndarray) -> np.ndarray:
 def _to_np(v) -> np.ndarray:
     if hasattr(v, "detach"):  # torch tensor
         v = v.detach().cpu().numpy()
-    return np.asarray(v, dtype=np.float32)
+    a = np.asarray(v)
+    if a.dtype == np.float16:  # AMP-trained checkpoints: widen
+        return a.astype(np.float32)
+    if a.dtype not in (np.float32, np.float64):
+        return a.astype(np.float32)
+    return a  # preserve fp32/fp64 (fp64 goldens drive tight parity checks)
 
 
 def _set(tree: Dict[str, Any], path, value):

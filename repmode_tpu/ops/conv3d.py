@@ -45,6 +45,9 @@ def conv3d_same(
     """
     x = _cast(x, compute_dtype)
     w = _cast(w, compute_dtype)
+    if accum_dtype is not None:
+        # never downcast accumulation (fp64 parity runs keep fp64)
+        accum_dtype = jnp.promote_types(x.dtype, accum_dtype)
     return lax.conv_general_dilated(
         x,
         w,
@@ -73,7 +76,8 @@ def downsample2x_conv(x: jax.Array, w: jax.Array, *, compute_dtype=None) -> jax.
     xb = xb.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(n, d, h, wi, 8 * ci)
     wm = w.reshape(8 * ci, co)
     return jnp.einsum(
-        "ndhwk,ko->ndhwo", xb, wm, preferred_element_type=jnp.float32
+        "ndhwk,ko->ndhwo", xb, wm,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     )
 
 
@@ -90,7 +94,10 @@ def upsample2x_convt(x: jax.Array, w: jax.Array, *, compute_dtype=None) -> jax.A
     x = _cast(x, compute_dtype)
     w = _cast(w, compute_dtype)
     wm = w.reshape(8, ci, co).transpose(1, 0, 2).reshape(ci, 8 * co)
-    y = jnp.einsum("ndhwi,ik->ndhwk", x, wm, preferred_element_type=jnp.float32)
+    y = jnp.einsum(
+        "ndhwi,ik->ndhwk", x, wm,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+    )
     y = y.reshape(n, d, h, wi, 2, 2, 2, co)
     y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     return y.reshape(n, 2 * d, 2 * h, 2 * wi, co)

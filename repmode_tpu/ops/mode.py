@@ -67,7 +67,8 @@ def gate_logits_to_weights(logits: jax.Array, num_experts: int, out_chan: int) -
     Softmax runs in fp32 regardless of compute dtype.
     """
     n = logits.shape[0]
-    g = logits.reshape(n, num_experts, out_chan).astype(jnp.float32)
+    dt = jnp.promote_types(logits.dtype, jnp.float32)
+    g = logits.reshape(n, num_experts, out_chan).astype(dt)
     return jax.nn.softmax(g, axis=1)
 
 
@@ -153,7 +154,7 @@ def mode_conv_expert_sum(
     ya3 = cv(pooled3, ek.wa3)
     ya5 = cv(pooled5, ek.wa5)
 
-    gf = g.astype(jnp.float32)
+    gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
 
     def gw(e):  # (N,Co) -> (N,1,1,1,Co)
         return gf[:, e][:, None, None, None, :]
@@ -227,7 +228,7 @@ def mode_conv_expert_sum_s2d_domain(
     ya3 = cv(pooled3, ka3)
     ya5 = cv(pooled5, ka5)
 
-    gf = g.astype(jnp.float32)
+    gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
 
     def gw(e):  # (N,Co) -> (N,1,1,1,4Co): same gate for every output phase
         return jnp.tile(gf[:, e], (1, 4))[:, None, None, None, :]
@@ -258,7 +259,8 @@ def mode_conv_merged(
             accum_dtype=jnp.float32 if compute_dtype is None else None,
         )[0]
 
-    return jax.vmap(one)(x, w).astype(jnp.float32)
+    y = jax.vmap(one)(x, w)
+    return y.astype(jnp.promote_types(y.dtype, jnp.float32))
 
 
 def mode_conv_single(

@@ -34,8 +34,9 @@ def batch_norm_apply(
     eps: float = 1e-5,
 ) -> jax.Array:
     """Normalize with given statistics (eval mode / after stats computation)."""
-    x32 = x.astype(jnp.float32)
-    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    dt = jnp.promote_types(x.dtype, jnp.float32)  # fp32 floor; fp64 stays fp64
+    x32 = x.astype(dt)
+    inv = jax.lax.rsqrt(var.astype(dt) + eps)
     return (x32 - mean) * inv * scale + bias
 
 
@@ -56,7 +57,7 @@ def batch_norm_train(
     callers reduce every axis but the native channel). Returns
     (y, new_running_mean, new_running_var).
     """
-    x32 = x.astype(jnp.float32)
+    x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     bmean = jnp.mean(x32, axis=axes)
     bvar = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(bmean)
     bvar = jnp.maximum(bvar, 0.0)

@@ -241,5 +241,8 @@ def downsample_s2d_domain(x2: jax.Array, w2: jax.Array, *, compute_dtype=None) -
     return lax.conv_general_dilated(
         x2, w2, (2, 1, 1), "VALID",
         dimension_numbers=DIMNUMS,
-        preferred_element_type=jnp.float32 if compute_dtype is None else None,
+        preferred_element_type=(
+            jnp.promote_types(x2.dtype, jnp.float32)
+            if compute_dtype is None else None
+        ),
     )

@@ -10,9 +10,12 @@ reference's offline toggle (--debugging, main.py:57-60).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from typing import Dict, Optional
+
+log = logging.getLogger("repmode_tpu")
 
 
 class Tracker:
@@ -30,23 +33,33 @@ class Tracker:
         if log_dir is not None:
             os.makedirs(log_dir, exist_ok=True)
             self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            if config is not None:
+                # snapshot the full run config next to the metrics
+                # (reference main.py:107-108 json.dump(vars(opts)))
+                with open(os.path.join(log_dir, "config.json"), "w") as f:
+                    json.dump(config, f, indent=2, sort_keys=True)
         self.summary: Dict = {}
         self._wandb = None
         if not offline:
             try:
                 import wandb  # optional
-
+            except ImportError:
+                wandb = None
+            if wandb is not None:
                 if run_id is not None:
                     os.environ["WANDB_RESUME"] = "must"
-                self._wandb = wandb.init(
-                    project=project,
-                    name=run_name,
-                    tags=list(tags) or None,
-                    config=config,
-                    id=run_id,
-                )
-            except Exception:
-                self._wandb = None
+                try:
+                    self._wandb = wandb.init(
+                        project=project,
+                        name=run_name,
+                        tags=list(tags) or None,
+                        config=config,
+                        id=run_id,
+                    )
+                except Exception as e:  # wandb init failures must be loud
+                    log.warning("wandb.init failed (%s: %s) — local JSONL "
+                                "tracking only", type(e).__name__, e)
+                    self._wandb = None
 
     def log(self, d: Dict):
         if self._jsonl is not None:

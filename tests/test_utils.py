@@ -34,6 +34,43 @@ def test_tracker_jsonl(tmp_path):
     assert tr.summary["best"] == 1.23
 
 
+def test_tracker_config_snapshot(tmp_path):
+    """The full run config is snapshotted next to metrics.jsonl
+    (reference main.py:107-108 json.dump(vars(opts)))."""
+    from repmode_tpu.config import Config
+
+    cfg = Config()
+    tr = Tracker(str(tmp_path), config=json.loads(cfg.to_json()), offline=True)
+    tr.finish()
+    snap = json.load(open(tmp_path / "config.json"))
+    assert snap["train"]["lr"] == cfg.train.lr
+    assert tuple(snap["data"]["adopted_datasets"]) == cfg.data.adopted_datasets
+
+
+def test_flops_model():
+    """The analytic FLOP model that grounds bench.py's TFLOPS/MFU claims."""
+    from repmode_tpu.config import ModelConfig
+    from repmode_tpu.infer.tiling import compute_patch_starts
+    from repmode_tpu.utils.flops import (
+        tiled_inference_flops,
+        tiling_patch_count,
+    )
+
+    cfg = ModelConfig()
+    info = tiled_inference_flops(cfg, (32, 624, 924), (32, 128, 128))
+    # the reference grid (fnet_model.py:156-164): 1 x 9 x 14 patches
+    assert info["n_patches"] == 126
+    assert abs(info["redundancy"] - 3.58) < 0.01
+    # headline numbers cited in BASELINE.md
+    assert abs(info["flops_per_voxel_unique"] - 2.084e6) / 2.084e6 < 0.01
+    assert abs(info["flops_per_patch"] - 1.092e12) / 1.092e12 < 0.01
+
+    # patch-count formula == the actual tiling grid, including edge cases
+    for vol in [(32, 624, 924), (32, 128, 128), (32, 129, 200), (48, 130, 128)]:
+        starts = compute_patch_starts(vol, (32, 128, 128), 0.5)
+        assert tiling_patch_count(vol, (32, 128, 128), 0.5) == len(starts), vol
+
+
 def test_process_info():
     from repmode_tpu.parallel.distributed import process_info
 
