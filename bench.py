@@ -6,35 +6,65 @@ Gaussian-blended stitching — run through the RE-PARAMETERIZED RepMode network
 (experts merged per task + BN folded; models/reparam.py) in bf16.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": voxels/sec, "unit": "voxels/s", "vs_baseline": ...}
+  {"metric": ..., "value": voxels/sec, "unit": "voxels/s", "vs_baseline": ...,
+   "tflops_effective": ..., "mfu": ..., "baseline_v100_voxps": ..., ...}
 
-vs_baseline is value / (5x assumed V100 throughput). The reference publishes
-no benchmark numbers (BASELINE.md): V100_VOXELS_PER_SEC below is an estimate
-for the reference implementation on its documented hardware (V100 32GB, AMP,
-batch_size_eval 8) from its FLOP profile (~7.4 effective MFLOP/voxel after
-~3.6x tiling redundancy) and realistic achieved tensor-core throughput, with
-its per-batch re-merge and Python stitching overheads. vs_baseline >= 1.0
-means the >=5x north-star (BASELINE.json) is met.
+vs_baseline = value / (5 x V100_VOXELS_PER_SEC), i.e. >= 1.0 means the >=5x
+north-star (BASELINE.json) is met.
+
+The baseline denominator is grounded (BASELINE.md §"Derived V100 baseline"):
+the reference publishes no numbers, so V100_VOXELS_PER_SEC is derived from an
+exact analytic FLOP count of the re-parameterized network
+(repmode_tpu/utils/flops.py: 2.08 MFLOP/voxel unique, x3.58 tiling redundancy
+= 7.46 MFLOP/voxel effective — identical protocol on both sides) and the
+key citable fact that the reference's inference path is FP32: its only
+autocast is in do_train_iter (fnet_model.py:106); predict() (:195-205) runs
+plain no_grad fp32, so V100 tensor cores are idle and the ceiling is the
+15.7 TFLOP/s fp32 peak. Assuming 45% +/- 15% weighted cuDNN fp32 conv
+efficiency (50.2% of FLOPs at C=32, 27.8% at C=64) and ~15% non-conv wall
+overhead (per-batch expert re-merge, unfused BN/ReLU, Python patch loop):
+15.7 x 0.45 x 0.85 / 7.46 MFLOP/vox ~= 0.8 Mvox/s; central estimate 0.9,
+range [0.6, 1.3]. Sensitivity and a measured same-CPU cross-check:
+BASELINE.md + BASELINE_CPU.json (tools/bench_reference.py).
 """
 
 import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-V100_VOXELS_PER_SEC = 1.0e6  # estimated reference throughput (see docstring)
+V100_VOXELS_PER_SEC = 0.9e6  # derived central estimate (see docstring)
 NORTH_STAR_MULTIPLIER = 5.0
 
 VOL_SHAPE = (32, 624, 924)  # reference full-volume size (SURVEY.md §3.3)
 
+# bf16 peak TFLOP/s by TPU generation (public spec sheets)
+_TPU_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5e": 197.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v5": 459.0,
+    "TPU v6e": 918.0,
+    "TPU v6 lite": 918.0,
+}
+
+
+def device_peak_tflops() -> tuple:
+    kind = jax.devices()[0].device_kind
+    for name, peak in _TPU_PEAK_TFLOPS.items():
+        if name.lower() in kind.lower():
+            return kind, peak
+    return kind, None
+
 
 def main():
-    from repmode_tpu.config import Config, EvalConfig, TrainConfig
+    from repmode_tpu.config import Config, EvalConfig, ModelConfig, TrainConfig
     from repmode_tpu.infer.predict import TiledPredictor
     from repmode_tpu.models.reparam import make_inference
     from repmode_tpu.train.state import create_train_state
+    from repmode_tpu.utils.flops import tiled_inference_flops
 
     # batch_size_eval 16: measured best on v5e (13.7 vs 13.0 Mvox/s at 8);
     # the reference's own default (8) remains the framework config default.
@@ -67,18 +97,30 @@ def main():
     best = sorted(times)[len(times) // 2]  # median
     voxels = float(np.prod(VOL_SHAPE))
     vps = voxels / best
-    print(
-        json.dumps(
-            {
-                "metric": "full_volume_tiled_inference_throughput",
-                "value": round(vps, 1),
-                "unit": "voxels/s",
-                "vs_baseline": round(
-                    vps / (NORTH_STAR_MULTIPLIER * V100_VOXELS_PER_SEC), 3
-                ),
-            }
-        )
-    )
+
+    fl = tiled_inference_flops(cfg.model, VOL_SHAPE, cfg.eval.patch_size,
+                               cfg.eval.overlap)
+    tflops = fl["total_flops"] / best / 1e12
+    kind, peak = device_peak_tflops()
+    rec = {
+        "metric": "full_volume_tiled_inference_throughput",
+        "value": round(vps, 1),
+        "unit": "voxels/s",
+        "vs_baseline": round(vps / (NORTH_STAR_MULTIPLIER * V100_VOXELS_PER_SEC), 3),
+        "volume_shape": list(VOL_SHAPE),
+        "seconds_per_volume": round(best, 4),
+        "model_flops_per_volume": fl["total_flops"],
+        "flops_per_voxel_effective": round(fl["flops_per_voxel_effective"], 1),
+        "tiling_redundancy": round(fl["redundancy"], 3),
+        "tflops_effective": round(tflops, 2),
+        "device_kind": kind,
+        "device_peak_bf16_tflops": peak,
+        "mfu": round(tflops / peak, 4) if peak else None,
+        "baseline_v100_voxps": V100_VOXELS_PER_SEC,
+        "baseline_method": "analytic FLOP model x cuDNN-efficiency estimate "
+                           "(BASELINE.md; reference publishes no numbers)",
+    }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -85,10 +85,13 @@ class TrainConfig:
     # Per-host data parallelism; 1 = single chip.
     num_devices: int = 1
     # sample training patches on-device from an HBM-resident volume bank
-    # (data/device_sampler.py): zero host work per step. Requires
-    # uniform-shaped volumes; sampling is uniform-with-replacement rather
-    # than the host path's once-per-volume epochs.
-    on_device_pipeline: bool = False
+    # (data/device_sampler.py): zero host work per step, same sampling law
+    # as the host path (once-per-volume permutation epochs, padded tail).
+    # None = auto: on when the padded bank fits the HBM budget below.
+    on_device_pipeline: Optional[bool] = None
+    # max bank bytes for the auto decision (v5e has 16 GB; leave room for
+    # params, optimizer state, and activations)
+    device_bank_budget_bytes: int = 4 * 1024**3
 
 
 @dataclass(frozen=True)

@@ -112,14 +112,13 @@ def run_train_epoch_device(
     key,
 ) -> tuple:
     """Epoch with the on-device pipeline: jitted sampling feeds the jitted
-    step; no host work inside the loop. `steps` matches the host path's
-    batches-per-epoch so logging cadence is comparable."""
+    step; no host work inside the loop. The sampler visits every volume once
+    per epoch via an on-device permutation (device_sampler module doc)."""
     t0 = time.perf_counter()
     num_tasks = cfg.num_tasks
     pending = []
     for s in range(steps):
-        sub = jax.random.fold_in(key, epoch * steps + s)
-        state, metrics = step_fn(state, sample_fn(sub))
+        state, metrics = step_fn(state, sample_fn(key, epoch, s))
         pending.append(metrics)
 
     loss_sum = 0.0
@@ -224,21 +223,32 @@ def run_experiment(
     device_sample = None
     steps_per_epoch = 0
     if "train" in stores and len(stores["train"]):
-        if cfg.train.on_device_pipeline:
-            from repmode_tpu.data.device_sampler import (
-                DeviceVolumeBank,
-                make_device_sampler,
-            )
+        from repmode_tpu.data.device_sampler import (
+            DeviceVolumeBank,
+            make_device_sampler,
+        )
 
+        # on-device pipeline: measured 1252 vs 1526 ms/step at full scale
+        # (ARCHITECTURE.md); auto-on when the padded bank fits the budget
+        use_device = cfg.train.on_device_pipeline
+        if use_device is None:
+            bank_bytes = DeviceVolumeBank.padded_nbytes(stores["train"])
+            use_device = 0 < bank_bytes <= cfg.train.device_bank_budget_bytes
+            if not use_device:
+                logger.info(
+                    f"[DATA]    Device bank would need {bank_bytes / 1e9:.2f} "
+                    "GB > budget — using the host pipeline"
+                )
+        if use_device:
             bank = DeviceVolumeBank.from_store(stores["train"])
-            device_sample = make_device_sampler(
+            device_sample, steps_per_epoch = make_device_sampler(
                 bank, cfg.train.batch_size, cfg.train.patch_size,
-                cfg.train.random_flip_prob,
+                cfg.train.random_flip_prob, mesh=mesh,
             )
-            steps_per_epoch = -(-len(stores["train"]) // cfg.train.batch_size)
             logger.info(
                 f"[DATA]    On-device pipeline: bank of {bank.num_volumes} "
-                f"volumes {bank.vol_shape} in HBM"
+                f"volumes padded to {bank.vol_shape} in HBM "
+                "(once-per-volume permutation epochs)"
             )
         else:
             sampler = PatchSampler(
@@ -248,10 +258,19 @@ def run_experiment(
                 seed=cfg.train.seed,
                 flip_prob=cfg.train.random_flip_prob,
             )
-    # under DP with the two_phase predictor, eval shards the patch grid
-    # across the same mesh (infer/predict.py)
+    # Under DP, eval must use all devices: the two_phase predictor shards
+    # the patch grid over the mesh (infer/predict.py), so it is the
+    # effective mode whenever a mesh exists — the default 'fused' predictor
+    # is a single-device program and would silently evaluate on one chip.
+    pred_mode = cfg.eval.predictor
+    if mesh is not None and pred_mode == "fused":
+        pred_mode = "two_phase"
+        logger.info(
+            "[EVAL]    DP mesh: predictor fused -> two_phase "
+            "(patch grid sharded over all devices)"
+        )
     predictor = TiledPredictor(
-        cfg, mesh=mesh if cfg.eval.predictor == "two_phase" else None
+        cfg, mode=pred_mode, mesh=mesh if pred_mode == "two_phase" else None
     )
     policy = CheckpointPolicy(cfg, dirs.checkpoints)
 
