@@ -270,6 +270,128 @@ def plain_forward_s2d(
     return conv3d_same(h, plain["conv_out_w"], compute_dtype=cdt)
 
 
+def plain_forward_s2d_pallas(
+    plain: Params,
+    x: jax.Array,
+    cfg: ModelConfig,
+    s2d_levels: tuple,
+    *,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """plain_forward_s2d with the s2d levels' convs as Pallas padded chains.
+
+    Same function as plain_forward_s2d (bf16 rounding aside — verified
+    bit-exact vs the XLA path on chip), different execution: within an s2d
+    level the activations stay DEPTH-PADDED in HBM and each conv is one
+    pallas_conv3d_dpad call (fused bias+ReLU, bf16 out, in-kernel H/W
+    halos), so chained convs pay zero jnp.pad/slice passes — the downsample
+    trims the halo via negative conv padding, the decoder's upsample output
+    is padded once before the concat. Non-s2d levels and the narrow edge
+    convs (encoder1 conv1 ci=4, conv_out co=1) stay on XLA.
+    """
+    from jax import lax
+
+    from repmode_tpu.ops.conv3d import DIMNUMS
+    from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_dpad
+
+    cdt = compute_dtype or jnp.bfloat16
+    s2d = set(s2d_levels)
+    pd = (cfg.kernel_size - 1) // 2
+
+    def pad_d(h2):
+        return jnp.pad(
+            h2.astype(cdt), ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0))
+        )
+
+    def pallas_ok(w):
+        return (w.shape[1] == 3 and w.shape[2] == 3
+                and w.shape[3] % 128 == 0 and w.shape[4] % 128 == 0)
+
+    def cbr_xla(h2, w, b):
+        return jax.nn.relu(conv3d_same(h2, w, compute_dtype=cdt) + b)
+
+    def chain_from_padded(xp, blk):
+        """s2d-domain double conv; PADDED-D input -> PADDED-D bf16 output."""
+        y1p = pallas_conv3d_dpad(
+            xp, blk["conv1_w"], blk["conv1_b"], relu=True, compute_dtype=cdt,
+        )
+        return pallas_conv3d_dpad(
+            y1p, blk["conv2_w"], blk["conv2_b"], relu=True, compute_dtype=cdt,
+        )
+
+    def chain_from_native(h2, blk):
+        """s2d-domain double conv; native-D input -> PADDED-D bf16 output."""
+        if pallas_ok(blk["conv1_w"]):
+            return chain_from_padded(pad_d(h2), blk)
+        # encoder1 conv1 (ci=4): XLA, then enter the padded domain
+        y1p = pad_d(cbr_xla(h2, blk["conv1_w"], blk["conv1_b"]))
+        return pallas_conv3d_dpad(
+            y1p, blk["conv2_w"], blk["conv2_b"], relu=True, compute_dtype=cdt,
+        )
+
+    skips = {}
+    h = x
+    for i in range(1, cfg.depth + 1):
+        blk = plain[f"encoder_block{i}"]
+        if i in s2d:
+            skip_p = chain_from_native(space_to_depth_hw(h), blk)
+            skips[i] = skip_p  # stored padded: the decoder concat reuses it
+            h = jax.nn.relu(
+                downsample_s2d_domain(
+                    skip_p, blk["down_w"], compute_dtype=cdt, trim_d_halo=pd
+                )
+                + blk["down_b"]
+            )
+        else:
+            skip = jax.nn.relu(
+                conv3d_same(
+                    jax.nn.relu(
+                        conv3d_same(h, blk["conv1_w"], compute_dtype=cdt)
+                        + blk["conv1_b"]
+                    ),
+                    blk["conv2_w"], compute_dtype=cdt,
+                )
+                + blk["conv2_b"]
+            )
+            skips[i] = skip
+            h = jax.nn.relu(
+                downsample2x_conv(skip, blk["down_w"], compute_dtype=cdt)
+                + blk["down_b"]
+            )
+
+    blk = plain["bottle_block"]
+    h = cbr_xla(cbr_xla(h, blk["conv1_w"], blk["conv1_b"]),
+                blk["conv2_w"], blk["conv2_b"])
+
+    for i in range(cfg.depth, 0, -1):
+        blk = plain[f"decoder_block{i}"]
+        up = jax.nn.relu(
+            upsample2x_convt(h, blk["up_w"], compute_dtype=cdt) + blk["up_b"]
+        )
+        if i in s2d:
+            cat_p = jnp.concatenate(
+                [skips[i], pad_d(space_to_depth_hw(up))], axis=-1
+            )
+            y2p = chain_from_padded(cat_p, blk)
+            if i == 1 and 1 in s2d:
+                # conv_out consumes the padded tensor: its D halo is physical,
+                # so 'same'-in-D == VALID over the padded rows
+                y = lax.conv_general_dilated(
+                    y2p.astype(cdt), plain["conv_out_w"].astype(cdt),
+                    (1, 1, 1), ((0, 0), (1, 1), (1, 1)),
+                    dimension_numbers=DIMNUMS,
+                    preferred_element_type=jnp.float32,
+                )
+                return depth_to_space_hw(y)
+            h = depth_to_space_hw(y2p[:, pd:-pd])
+        else:
+            cat = jnp.concatenate([skips[i], up], axis=-1)
+            h = cbr_xla(cbr_xla(cat, blk["conv1_w"], blk["conv1_b"]),
+                        blk["conv2_w"], blk["conv2_b"])
+
+    return conv3d_same(h, plain["conv_out_w"], compute_dtype=cdt)
+
+
 def make_inference(cfg) -> tuple:
     """(prepare, forward) pair consistent with cfg (incl. the s2d switch).
 
@@ -309,10 +431,15 @@ def make_inference(cfg) -> tuple:
         p = reparameterize(variables, cfg.model, num_tasks, task_id)
         return to_s2d_plain(p, cfg.model, levels) if levels else p
 
-    if levels:
+    if levels and cfg.eval.pallas_conv:
+        forward = functools.partial(
+            plain_forward_s2d_pallas, cfg=cfg.model, s2d_levels=levels,
+            compute_dtype=cdt,
+        )
+    elif levels:
         forward = functools.partial(
             plain_forward_s2d, cfg=cfg.model, s2d_levels=levels,
-            compute_dtype=cdt, pallas_conv=cfg.eval.pallas_conv
+            compute_dtype=cdt,
         )
     else:
         forward = functools.partial(plain_forward, cfg=cfg.model, compute_dtype=cdt)

@@ -124,6 +124,208 @@ def _conv_bias_relu_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sems, *, kd,
     out_ref[0, 0] = acc.reshape(th, w_len, co).astype(out_dtype)
 
 
+def _dpad_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sems, *, kd, th, nh,
+                 d_nat, w_len, wp, ci, co, compute_dtype, relu, out_dtype):
+    """Chainable conv on D-padded tensors (pallas_conv3d_dpad).
+
+    Grid (n, dp, h): dp runs over the PADDED depth; halo dp steps write
+    zeros (the next conv in the chain reads them as its D halo). H and W
+    halos are handled in-kernel: the slab keeps permanent zero W columns
+    (written once at warmup) and the edge h tiles zero their boundary row,
+    so inputs/outputs stay native-sized in H and W — no jnp.pad pass
+    between chained convs.
+
+    Slab W layout: Mosaic requires DMA destination slices 8-aligned on the
+    sublane (W) axis, so the input rows land at column 8 and the left conv
+    halo is the permanent zero column 7; taps read [dx+7, dx+7+W).
+    """
+    pd = (kd - 1) // 2
+    n = pl.program_id(0)
+    dp = pl.program_id(1)
+    h = pl.program_id(2)
+    nd = pl.num_programs(1)
+    interior = jnp.logical_and(dp >= pd, dp < nd - pd)
+
+    # linear index over INTERIOR steps only (slot parity + prefetch chain)
+    i_step = (n * d_nat + (dp - pd)) * nh + h
+    total = pl.num_programs(0) * d_nat * nh
+    slot = jax.lax.rem(i_step, 2)
+    nxt = jax.lax.rem(i_step + 1, 2)
+
+    def halo_dma(s, nn, dd, hh, start):
+        """Halo-aware slab DMA for interior step (nn, dd, hh). The start and
+        wait sides must rebuild the SAME-sized descriptor, branch-matched on
+        hh (semaphores count bytes). Rows: slab row l <-> native row
+        hh*th - 1 + l; cols: slab col c <-> native col c - 1 (cols 0 and
+        W+1.. hold permanent zeros)."""
+        h0 = hh * th
+
+        def dma(dst_lo, n_rows, src_lo):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[nn, pl.ds(dd - pd, kd), pl.ds(src_lo, n_rows)],
+                x_vmem.at[s, :, pl.ds(dst_lo, n_rows), pl.ds(8, w_len)],
+                sems.at[s],
+            )
+            cp.start() if start else cp.wait()
+
+        def zrow(r):
+            if start:
+                x_vmem[s, :, r, :] = jnp.zeros((kd, wp, ci), x_vmem.dtype)
+
+        if nh == 1:  # single tile: both H edges zero
+            zrow(0)
+            zrow(th + 1)
+            dma(1, th, 0)
+            return
+
+        @pl.when(hh == 0)
+        def _():
+            zrow(0)
+            dma(1, th + 1, 0)
+
+        @pl.when(hh == nh - 1)
+        def _():
+            zrow(th + 1)
+            dma(0, th + 1, h0 - 1)
+
+        @pl.when(jnp.logical_and(hh > 0, hh < nh - 1))
+        def _():
+            dma(0, th + 2, h0 - 1)
+
+    @pl.when(interior)
+    def _():
+        # warmup: permanent zero W-halo columns of both slots, start own DMA
+        @pl.when(i_step == 0)
+        def _():
+            for s in range(2):
+                x_vmem[s, :, :, pl.ds(0, 8), :] = jnp.zeros(
+                    (kd, th + 2, 8, ci), x_vmem.dtype
+                )
+                x_vmem[s, :, :, pl.ds(8 + w_len, wp - 8 - w_len), :] = (
+                    jnp.zeros((kd, th + 2, wp - 8 - w_len, ci), x_vmem.dtype)
+                )
+            halo_dma(slot, n, dp, h, start=True)
+
+        # prefetch the next interior step's slab
+        @pl.when(i_step + 1 < total)
+        def _():
+            j = i_step + 1
+            h2 = jax.lax.rem(j, nh)
+            d2 = pd + jax.lax.rem(j // nh, d_nat)
+            n2 = j // (nh * d_nat)
+            halo_dma(nxt, n2, d2, h2, start=True)
+
+        halo_dma(slot, n, dp, h, start=False)  # wait for this step's slab
+
+        acc = jnp.zeros((th * w_len, co), jnp.float32)
+        for dz in range(kd):
+            for dy in range(3):
+                for dx in range(3):
+                    a = x_vmem[
+                        slot, dz, dy : dy + th, dx + 7 : dx + 7 + w_len, :
+                    ]
+                    a = a.reshape(th * w_len, ci).astype(compute_dtype)
+                    wk = w_ref[dz, dy, dx].astype(compute_dtype)
+                    acc = acc + jnp.dot(
+                        a, wk, preferred_element_type=jnp.float32
+                    )
+        acc = acc + b_ref[0].astype(jnp.float32)[None, :]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        out_ref[0, 0] = acc.reshape(th, w_len, co).astype(out_dtype)
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        out_ref[0, 0] = jnp.zeros((th, w_len, co), out_dtype)
+
+
+def pallas_conv3d_dpad(
+    x: jax.Array,
+    w: jax.Array,
+    bias: "jax.Array | None" = None,
+    *,
+    relu: bool = False,
+    h_tile: int = 0,
+    compute_dtype=jnp.bfloat16,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Chainable 'same' conv on D-padded s2d-domain tensors.
+
+    x: (N, D + kd-1, H, W, Ci) with (kd-1)//2 ZERO halo rows at each depth
+    edge; w: (kd, 3, 3, Ci, Co) -> (N, D + kd-1, H, W, Co) with zero halo
+    rows rewritten. H/W are native — their conv halos are materialized
+    in-kernel (module `_dpad_kernel` doc), so chained convs
+    (conv1+bias+relu -> conv2+bias+relu per U-Net level) pay ZERO pad/copy
+    passes between them; only the level entry pays one depth pad.
+    bf16 in/out by default (halves HBM traffic vs the fp32-out kernel).
+    """
+    n, dp_, h, wl, ci = x.shape
+    kd, kh, kw, wci, co = w.shape
+    assert kh == 3 and kw == 3 and wci == ci, (w.shape, x.shape)
+    pd = (kd - 1) // 2
+    d_nat = dp_ - 2 * pd
+    assert d_nat > 0, (dp_, kd)
+
+    # slab W: 8 zero cols (left halo at col 7; DMA dst must be 8-aligned),
+    # then W input cols, then >=1 zero col (right halo), rounded to 8
+    wp = 8 + -(-(wl + 1) // 8) * 8
+    if h_tile <= 0:
+        budget = 12 * 1024 * 1024
+        h_tile = 1
+        for cand in range(min(h, 32), 0, -1):
+            if h % cand:
+                continue
+            footprint = (
+                2 * kd * (cand + 2) * wp * ci * 2
+                + cand * wl * co * 4
+                + kd * 9 * ci * co * 2
+            )
+            if footprint <= budget:
+                h_tile = cand
+                break
+    assert h % h_tile == 0, (h, h_tile)
+    nh = h // h_tile
+
+    xc = x.astype(compute_dtype)
+    wc = w.astype(compute_dtype)
+    b = jnp.zeros((co,), jnp.float32) if bias is None else bias
+    b = b.astype(jnp.float32).reshape(1, co)
+
+    grid = (n, dp_, nh)
+    kernel = functools.partial(
+        _dpad_kernel, kd=kd, th=h_tile, nh=nh, d_nat=d_nat, w_len=wl, wp=wp,
+        ci=ci, co=co, compute_dtype=compute_dtype, relu=relu,
+        out_dtype=out_dtype,
+    )
+    flops = 2 * n * d_nat * h * wl * kd * 9 * ci * co
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # manual halo DMA
+            pl.BlockSpec((kd, kh, kw, ci, co), lambda n_, d_, h_: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda n_, d_, h_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h_tile, wl, co), lambda n_, d_, h_: (n_, d_, h_, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, dp_, h, wl, co), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, kd, h_tile + 2, wp, ci), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * 2 + w.size * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xc, wc, b)
+
+
 def pallas_conv3d_same(
     x: jax.Array,
     w: jax.Array,

@@ -226,8 +226,14 @@ def _avg_pool_s2d_bwd(k, channel_sizes, _, g):
 avg_pool_same_s2d.defvjp(_avg_pool_s2d_fwd, _avg_pool_s2d_bwd)
 
 
-def downsample_s2d_domain(x2: jax.Array, w2: jax.Array, *, compute_dtype=None) -> jax.Array:
+def downsample_s2d_domain(
+    x2: jax.Array, w2: jax.Array, *, compute_dtype=None, trim_d_halo: int = 0
+) -> jax.Array:
     """s2d-domain downsample: (N,D,h',w',4C) -> native next level (N,D/2,h',w',Co).
+
+    trim_d_halo > 0 consumes a depth-padded tensor (the Pallas chain keeps
+    activations D-padded, models/reparam.plain_forward_s2d_pallas) by
+    NEGATIVE conv padding — no separate slice pass.
 
     AD-safe dtype policy as conv3d_same: bf16 compute emits bf16 (the conv
     VJP rejects mixed-dtype operands); fp32 output only in exact mode.
@@ -238,8 +244,10 @@ def downsample_s2d_domain(x2: jax.Array, w2: jax.Array, *, compute_dtype=None) -
 
     x2 = _cast(x2, compute_dtype)
     w2 = _cast(w2, compute_dtype)
+    t = trim_d_halo
     return lax.conv_general_dilated(
-        x2, w2, (2, 1, 1), "VALID",
+        x2, w2, (2, 1, 1),
+        ((-t, -t), (0, 0), (0, 0)) if t else "VALID",
         dimension_numbers=DIMNUMS,
         preferred_element_type=(
             jnp.promote_types(x2.dtype, jnp.float32)

@@ -1,0 +1,274 @@
+"""Trained-accuracy parity: reference vs repmode_tpu, same data, same recipe.
+
+The north star (BASELINE.json) demands per-task MSE parity within 1%. This
+tool demonstrates it end-to-end (VERDICT r1 item #3): train the ACTUAL
+PyTorch reference net (/root/reference, read-only import) and repmode_tpu
+from IDENTICAL initial weights on an IDENTICAL synthetic corpus with the
+identical recipe — Adam(lr=1e-4), MSE, BN momentum 0.1 (fnet_model.py:55,
+:108-113) — fp32 on CPU (the reference's AMP is CUDA-only; fp32 is the
+controlled comparison), and compare training curves + final per-task val MSE.
+
+The synthetic task is learnable and task-conditioned (target_t = a_t *
+boxblur3(signal) + b_t * signal), so gating, experts, and BN all have to
+train for the loss to drop.
+
+Writes PARITY_TRAINING.json; tools/../PARITY_TRAINING.md narrates the result.
+
+Usage: python tools/train_parity.py [--steps 300] [--mult-chan 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+TASKS = ["t0", "t1", "t2"]
+TASK_A = [1.0, -0.7, 0.4]   # per-task blur coefficient
+TASK_B = [0.0, 0.5, -0.6]   # per-task passthrough coefficient
+PATCH = (16, 16, 16)
+
+
+def boxblur3(x):
+    """3^3 mean filter, zero 'same' padding (separable shifted adds)."""
+    out = np.zeros_like(x)
+    for axis in range(x.ndim - 3, x.ndim):
+        out[...] = 0.0
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (1, 1)
+        xp = np.pad(x, pad)
+        n = x.shape[axis]
+        sl = [slice(None)] * x.ndim
+        for i in range(3):
+            sl[axis] = slice(i, i + n)
+            out += xp[tuple(sl)]
+        x = out / 3.0
+    return x
+
+
+def make_batches(steps, batch, seed=0):
+    """Pre-generated batches, fed IDENTICALLY to both frameworks (NCDHW)."""
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(steps):
+        sig = rng.standard_normal((batch, 1) + PATCH).astype(np.float32)
+        sig = boxblur3(sig)  # smooth-ish input, like real microscopy
+        task = rng.integers(0, len(TASKS), batch).astype(np.int64)
+        a = np.asarray(TASK_A, np.float32)[task][:, None, None, None, None]
+        b = np.asarray(TASK_B, np.float32)[task][:, None, None, None, None]
+        tgt = (a * boxblur3(sig) + b * sig).astype(np.float32)
+        batches.append((sig, tgt, task))
+    return batches
+
+
+def train_reference(batches, val, mult_chan, lr, perturb_ulp=False):
+    sys.modules.setdefault("wandb", types.SimpleNamespace(
+        log=lambda *a, **k: None))
+    sys.path.insert(0, REFERENCE)
+    import torch
+
+    from fnet.nn_modules.RepMode import Net
+
+    torch.manual_seed(0)
+    opts = types.SimpleNamespace(adopted_datasets=TASKS, gpu_ids=-1)
+    net = Net(opts, mult_chan=mult_chan, in_channels=1, out_channels=1)
+    if perturb_ulp:
+        # flip ONE weight by one ulp: a perturbation ~1e-7 relative, far
+        # below any legitimate framework difference. The divergence this
+        # seeds over the chaotic SGD trajectory is the reference's own
+        # parity floor (see --noise-floor).
+        with torch.no_grad():
+            p = next(net.parameters())
+            flat = p.view(-1)
+            flat[0] = float(np.nextafter(float(flat[0]), np.inf,
+                                         dtype=np.float32))
+    init_sd = {k: v.detach().numpy().copy() for k, v in net.state_dict().items()}
+    optim = torch.optim.Adam(net.parameters(), lr=lr)  # fnet_model.py:55
+
+    losses = []
+    net.train()
+    for sig, tgt, task in batches:
+        optim.zero_grad()
+        out = net(torch.from_numpy(sig), torch.from_numpy(task))
+        loss = torch.mean((out - torch.from_numpy(tgt)) ** 2)
+        loss.backward()
+        optim.step()
+        losses.append(float(loss.detach()))
+
+    net.eval()
+    per_task = {}
+    with torch.no_grad():
+        for sig, tgt, task in val:
+            out = net(torch.from_numpy(sig), torch.from_numpy(task))
+            mse = float(torch.mean((out - torch.from_numpy(tgt)) ** 2))
+            per_task[TASKS[int(task[0])]] = mse
+    return init_sd, losses, per_task
+
+
+def train_ours(batches, val, init_sd, mult_chan, lr):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, REPO)
+    import jax.numpy as jnp
+
+    from repmode_tpu.compat.torch_import import convert_state_dict
+    from repmode_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from repmode_tpu.train.state import create_train_state, make_optimizer
+    from repmode_tpu.train.step import make_eval_loss_step, make_train_step
+
+    cfg = Config(
+        model=ModelConfig(mult_chan=mult_chan, depth=4),  # shipping defaults
+        data=DataConfig(adopted_datasets=tuple(TASKS)),
+        train=TrainConfig(lr=lr, compute_dtype="float32",
+                          patch_size=PATCH, batch_size=batches[0][0].shape[0]),
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    variables = jax.tree.map(jnp.asarray, convert_state_dict(init_sd))
+    state = state.replace(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=make_optimizer(cfg).init(variables["params"]),
+    )
+    step = make_train_step(cfg, donate=False)
+    eval_step = make_eval_loss_step(cfg)
+
+    def to_batch(sig, tgt, task):
+        return {
+            "signal": jnp.asarray(np.transpose(sig, (0, 2, 3, 4, 1))),
+            "target": jnp.asarray(np.transpose(tgt, (0, 2, 3, 4, 1))),
+            "task": jnp.asarray(task.astype(np.int32)),
+        }
+
+    losses = []
+    for sig, tgt, task in batches:
+        state, metrics = step(state, to_batch(sig, tgt, task))
+        losses.append(float(metrics["loss"]))
+
+    per_task = {}
+    for sig, tgt, task in val:
+        mse = float(eval_step(state, to_batch(sig, tgt, task)))
+        per_task[TASKS[int(task[0])]] = mse
+    return losses, per_task
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--mult-chan", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_TRAINING.json"))
+    ap.add_argument("--noise-floor", action="store_true",
+                    help="also train the reference a second time from an "
+                         "init with ONE weight flipped by one ulp (~1e-7 "
+                         "relative) — identical data and recipe. The "
+                         "resulting ref-vs-ref val-MSE spread is the "
+                         "reference's own chaos floor, the fair yardstick "
+                         "for ours-vs-ref. (A torch rerun with different "
+                         "thread counts on this 1-core box is bit-identical "
+                         "— verified 0.0 — so the ulp flip is the minimal "
+                         "real perturbation.)")
+    ap.add_argument("--floor-only", action="store_true",
+                    help="only run the ulp-perturbed reference arm and merge "
+                         "the floor into an existing --out JSON (the base "
+                         "reference run is deterministic; its stored MSEs "
+                         "are exact).")
+    args = ap.parse_args()
+
+    batches = make_batches(args.steps, args.batch, seed=0)
+    # task-uniform val batches (one per task), never trained on
+    rngv = np.random.default_rng(999)
+    val = []
+    for t in range(len(TASKS)):
+        sig = boxblur3(rngv.standard_normal((8, 1) + PATCH).astype(np.float32))
+        task = np.full((8,), t, np.int64)
+        tgt = (TASK_A[t] * boxblur3(sig) + TASK_B[t] * sig).astype(np.float32)
+        val.append((sig, tgt, task))
+
+    if args.floor_only:
+        with open(args.out) as f:
+            rec = json.load(f)
+        assert rec["steps"] == args.steps and rec["mult_chan"] == args.mult_chan
+        ref_val = rec["reference_val_mse_per_task"]
+        _, _, ref_val2 = train_reference(
+            batches, val, args.mult_chan, args.lr, perturb_ulp=True)
+        floor = {
+            t: abs(ref_val2[t] - ref_val[t]) / ref_val[t] for t in ref_val
+        }
+        rec["reference_noise_floor_rel_diff_per_task"] = floor
+        rec["reference_noise_floor_max"] = max(floor.values())
+        rec["noise_floor_method"] = (
+            "reference retrained from an init with one weight flipped by "
+            "one ulp (~1e-7 relative); identical data/recipe"
+        )
+        rec["parity_within_noise_floor"] = bool(
+            rec["max_val_mse_rel_diff"] <= max(floor.values())
+        )
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=2)
+        print(json.dumps({k: rec[k] for k in (
+            "max_val_mse_rel_diff", "reference_noise_floor_max",
+            "parity_within_noise_floor")}, indent=2))
+        return
+
+    t0 = time.time()
+    init_sd, ref_losses, ref_val = train_reference(
+        batches, val, args.mult_chan, args.lr)
+    t_ref = time.time() - t0
+
+    floor = None
+    if args.noise_floor:
+        _, _, ref_val2 = train_reference(
+            batches, val, args.mult_chan, args.lr, perturb_ulp=True)
+        floor = {
+            t: abs(ref_val2[t] - ref_val[t]) / ref_val[t] for t in ref_val
+        }
+
+    t0 = time.time()
+    our_losses, our_val = train_ours(batches, val, init_sd,
+                                     args.mult_chan, args.lr)
+    t_ours = time.time() - t0
+
+    rel = {
+        t: abs(our_val[t] - ref_val[t]) / ref_val[t] for t in ref_val
+    }
+    rec = {
+        "steps": args.steps,
+        "batch": args.batch,
+        "mult_chan": args.mult_chan,
+        "lr": args.lr,
+        "recipe": "Adam(lr), MSE, BN momentum 0.1, fp32, identical init + "
+                  "batches (reference fnet_model.py:55,104-113 minus "
+                  "CUDA-only AMP)",
+        "reference_final_train_loss": ref_losses[-1],
+        "ours_final_train_loss": our_losses[-1],
+        "reference_val_mse_per_task": ref_val,
+        "ours_val_mse_per_task": our_val,
+        "val_mse_rel_diff_per_task": rel,
+        "max_val_mse_rel_diff": max(rel.values()),
+        "within_1pct": bool(max(rel.values()) < 0.01),
+        "reference_noise_floor_rel_diff_per_task": floor,
+        "reference_noise_floor_max": max(floor.values()) if floor else None,
+        "loss_first10_reference": ref_losses[:10],
+        "loss_first10_ours": our_losses[:10],
+        "loss_curve_reference": ref_losses[:: max(1, args.steps // 100)],
+        "loss_curve_ours": our_losses[:: max(1, args.steps // 100)],
+        "train_seconds": {"reference": round(t_ref, 1),
+                          "ours_incl_compile": round(t_ours, 1)},
+    }
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps({k: rec[k] for k in (
+        "reference_final_train_loss", "ours_final_train_loss",
+        "reference_val_mse_per_task", "ours_val_mse_per_task",
+        "max_val_mse_rel_diff", "within_1pct")}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
