@@ -80,7 +80,11 @@ def main():
     rng = np.random.default_rng(0)
     vol = rng.standard_normal(VOL_SHAPE).astype(np.float32)
 
-    predictor = TiledPredictor(cfg)
+    # experiment knob (default = shipping config)
+    import os
+
+    mode = os.environ.get("REPMODE_BENCH_PREDICTOR") or None
+    predictor = TiledPredictor(cfg, mode=mode)
 
     # compile + warmup (fetch an element: block_until_ready is unreliable on
     # the tunneled platform, so every timed iteration syncs via a scalar

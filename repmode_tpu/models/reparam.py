@@ -38,6 +38,8 @@ from repmode_tpu.ops.s2d import (
     s2d_conv_kernel,
     s2d_down_kernel,
     space_to_depth_hw,
+    upsample_s2d_to_s2d,
+    upsample_to_s2d,
 )
 
 Params = Dict[str, Any]
@@ -191,6 +193,11 @@ def plain_forward_s2d(
     same function as plain_forward (fp reassociation aside). pallas_conv
     routes the s2d-domain (kD,3,3) convs through the hand-written
     double-buffered kernel (ops/pallas/conv3d.py).
+
+    The decoder stays in the s2d domain across consecutive s2d levels
+    (upsample_s2d_to_s2d / upsample_to_s2d — the MXU-hostile narrow-channel
+    native tensors are never materialized; measured 13 GB/s on the
+    up-then-rearrange route, tools/bench_edges.py 2026-08-17).
     """
     cdt = compute_dtype
     s2d = set(s2d_levels)
@@ -249,19 +256,28 @@ def plain_forward_s2d(
 
     h = run_subnet(h, plain["bottle_block"])
 
+    h_is_s2d = False
     for i in range(cfg.depth, 0, -1):
         blk = plain[f"decoder_block{i}"]
-        up = jax.nn.relu(
-            upsample2x_convt(h, blk["up_w"], compute_dtype=cdt) + blk["up_b"]
-        )
         if i in s2d:
-            cat = jnp.concatenate([skips[i], space_to_depth_hw(up)], axis=-1)
-            h2 = run_subnet(cat, blk)
-            if i == 1 and 1 in s2d:
-                h = h2  # stay in s2d domain for conv_out
-            else:
-                h = depth_to_space_hw(h2)
+            # upsample straight into the s2d domain — the narrow-channel
+            # full-resolution native tensor is never materialized
+            up_fn = upsample_s2d_to_s2d if h_is_s2d else upsample_to_s2d
+            up2 = jax.nn.relu(
+                up_fn(h, blk["up_w"], compute_dtype=cdt)
+                + s2d_bias(blk["up_b"])
+            )
+            cat = jnp.concatenate([skips[i], up2], axis=-1)
+            h = run_subnet(cat, blk)
+            h_is_s2d = True
         else:
+            if h_is_s2d:  # contiguous-from-1 levels make this unreachable,
+                h = depth_to_space_hw(h)  # but keep the contract general
+                h_is_s2d = False
+            up = jax.nn.relu(
+                upsample2x_convt(h, blk["up_w"], compute_dtype=cdt)
+                + blk["up_b"]
+            )
             h = run_subnet(jnp.concatenate([skips[i], up], axis=-1), blk)
 
     if 1 in s2d:

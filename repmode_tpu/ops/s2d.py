@@ -231,26 +231,64 @@ def downsample_s2d_domain(
 ) -> jax.Array:
     """s2d-domain downsample: (N,D,h',w',4C) -> native next level (N,D/2,h',w',Co).
 
+    Lowered as two depth-phase matmuls accumulated (x2[:, ::2] @ w2[0] +
+    x2[:, 1::2] @ w2[1]) instead of a stride-(2,1,1) conv: XLA's strided-conv
+    lowering measured 4.5 TFLOPS / 71 GB/s at the L1 shape (tools/
+    bench_edges.py, 2026-08-17); the strided depth slices are cheap
+    (outermost axis) and the matmuls hit the MXU. AD-safe: slices and einsum
+    differentiate cleanly.
+
     trim_d_halo > 0 consumes a depth-padded tensor (the Pallas chain keeps
     activations D-padded, models/reparam.plain_forward_s2d_pallas) by
-    NEGATIVE conv padding — no separate slice pass.
+    slicing off the halo rows first (a view-level slice, no copy pass).
 
-    AD-safe dtype policy as conv3d_same: bf16 compute emits bf16 (the conv
-    VJP rejects mixed-dtype operands); fp32 output only in exact mode.
+    Dtype policy as conv3d_same: bf16 compute emits bf16 (the conv VJP
+    rejects mixed-dtype operands); fp32 output only in exact mode.
     """
-    from jax import lax
-
-    from repmode_tpu.ops.conv3d import DIMNUMS, _cast
+    from repmode_tpu.ops.conv3d import _cast
 
     x2 = _cast(x2, compute_dtype)
     w2 = _cast(w2, compute_dtype)
-    t = trim_d_halo
-    return lax.conv_general_dilated(
-        x2, w2, (2, 1, 1),
-        ((-t, -t), (0, 0), (0, 0)) if t else "VALID",
-        dimension_numbers=DIMNUMS,
-        preferred_element_type=(
-            jnp.promote_types(x2.dtype, jnp.float32)
-            if compute_dtype is None else None
-        ),
+    if trim_d_halo:
+        x2 = x2[:, trim_d_halo:-trim_d_halo]
+    pet = (
+        jnp.promote_types(x2.dtype, jnp.float32)
+        if compute_dtype is None else None
     )
+    wm = w2.reshape(2, w2.shape[-2], w2.shape[-1])  # (2, 4C, Co)
+    return jnp.einsum(
+        "ndhwc,co->ndhwo", x2[:, 0::2], wm[0], preferred_element_type=pet
+    ) + jnp.einsum(
+        "ndhwc,co->ndhwo", x2[:, 1::2], wm[1], preferred_element_type=pet
+    )
+
+
+def upsample_s2d_to_s2d(
+    x2: jax.Array, w: jax.Array, *, compute_dtype=None
+) -> jax.Array:
+    """k=2,s=2 transposed conv, s2d-domain input AND output.
+
+    Native: out[n,2d+a,2h+b,2w+c,o] = sum_i x[n,d,h,w,i] W[a,b,c,i,o], which
+    with both sides in s2d coordinates (h = 2h'+p, w = 2w'+x; out spatial
+    (2h'+p, 2w'+x), out phase (b,c)) is a PER-INPUT-PHASE matmul followed by
+    d/h'/w' interleaves — the full-resolution native tensor (channel width
+    Co, MXU-hostile) is never materialized. Measured vs
+    upsample2x_convt + space_to_depth_hw at the L2->L1 shape: that route ran
+    at 13 GB/s (tools/bench_edges.py, 2026-08-17).
+
+    x2: (N,D,h',w',4Ci) phase-major, w: (2,2,2,Ci,Co) native
+    -> (N,2D,2h',2w',4Co) phase-major.
+    """
+    n, d, hh, ww, c4 = x2.shape
+    ci = c4 // 4
+    co = w.shape[-1]
+    if compute_dtype is not None:
+        x2 = x2.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    xv = x2.reshape(n, d, hh, ww, 2, 2, ci)
+    # (a,b,c,i,o) -> (i, a, (b,c,o)); same contraction for every input phase
+    wm = w.transpose(3, 0, 1, 2, 4).reshape(ci, 2, 4 * co)
+    y = jnp.einsum("ndhwpxi,iak->ndhwpxak", xv, wm)
+    # (n,d,h',w',p,x,a,k) -> (n, d,a, h',p, w',x, k) and collapse interleaves
+    y = y.transpose(0, 1, 6, 2, 4, 3, 5, 7)
+    return y.reshape(n, 2 * d, 2 * hh, 2 * ww, 4 * co)

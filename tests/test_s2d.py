@@ -14,6 +14,8 @@ from repmode_tpu.ops.s2d import (
     s2d_conv_kernel,
     s2d_down_kernel,
     space_to_depth_hw,
+    upsample_s2d_to_s2d,
+    upsample_to_s2d,
 )
 
 
@@ -68,6 +70,39 @@ class TestS2dDownsample:
 
 
 class TestTrainS2d:
+    def test_matches_native_upsample_to_s2d(self, rng):
+        from repmode_tpu.ops.conv3d import upsample2x_convt
+
+        x = arr(rng, (2, 3, 4, 6, 5))
+        w = arr(rng, (2, 2, 2, 5, 7))
+        native = space_to_depth_hw(upsample2x_convt(x, w))
+        out = upsample_to_s2d(x, w)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(native), rtol=1e-5, atol=1e-6
+        )
+
+    def test_matches_native_upsample_s2d_to_s2d(self, rng):
+        """s2d-in/s2d-out upsample == d2s -> native transposed conv -> s2d."""
+        from repmode_tpu.ops.conv3d import upsample2x_convt
+
+        x = arr(rng, (2, 3, 4, 6, 5))  # native input
+        w = arr(rng, (2, 2, 2, 5, 7))
+        native = space_to_depth_hw(upsample2x_convt(x, w))
+        out = upsample_s2d_to_s2d(space_to_depth_hw(x), w)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(native), rtol=1e-5, atol=1e-6
+        )
+
+    def test_downsample_trim_d_halo(self, rng):
+        x = arr(rng, (1, 4, 2, 2, 8))  # (N, D, h', w', 4C)
+        w2 = arr(rng, (2, 1, 1, 8, 3))
+        ref = downsample_s2d_domain(x, w2)
+        xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)))
+        out = downsample_s2d_domain(xp, w2, trim_d_halo=2)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7
+        )
+
     def test_expert_sum_s2d_matches(self, rng):
         from repmode_tpu.ops.mode import ExpertKernels, gate_logits_to_weights, mode_conv_expert_sum
         import jax.numpy as jnp

@@ -53,17 +53,25 @@ def main():
             times.append(time.perf_counter() - t0)
         return sorted(times)[len(times) // 2] / R
 
-    def chained(f, x0):
-        """jit of R sequential f applications with forced data dependency."""
-        def body(_i, carry):
-            x, _ = carry
-            y = f(x)
-            s = y.reshape(-1)[0].astype(x0.dtype)
-            return (x0 + s * 1e-30, s)
+    def chained(f):
+        """jit of R sequential f applications with forced data dependency.
+
+        x0 must arrive as the jit ARGUMENT (closing over a concrete device
+        array would bake a ~1GB constant into the program and stall the
+        remote compile — same failure mode the device sampler hit).
+        """
 
         @jax.jit
-        def run(x):
-            _, s = jax.lax.fori_loop(0, R, body, (x, jnp.zeros((), x0.dtype)))
+        def run(x0):
+            def body(_i, carry):
+                x, _ = carry
+                y = f(x)
+                s = y.reshape(-1)[0].astype(x0.dtype)
+                return (x0 + s * 1e-30, s)
+
+            _, s = jax.lax.fori_loop(
+                0, R, body, (x0, jnp.zeros((), x0.dtype))
+            )
             return s
 
         return run
@@ -100,7 +108,7 @@ def main():
                 ) + b2
             )
 
-        t_xla = timed(chained(xla_chain, x), x)
+        t_xla = timed(chained(xla_chain), x)
 
         def pal_chain(x_):
             xp = jnp.pad(x_.astype(jnp.bfloat16),
@@ -108,7 +116,7 @@ def main():
             y1 = pallas_conv3d_dpad(xp, w1, b1, relu=True)
             return pallas_conv3d_dpad(y1, w2, b2, relu=True)
 
-        t_pal = timed(chained(pal_chain, x), x)
+        t_pal = timed(chained(pal_chain), x)
 
         # steady-state: input already padded (as inside the forward chain)
         xp0 = jnp.pad(x.astype(jnp.bfloat16),
@@ -118,7 +126,7 @@ def main():
             y1 = pallas_conv3d_dpad(xp_, w1, b1, relu=True)
             return pallas_conv3d_dpad(y1, w2, b2, relu=True)
 
-        t_palp = timed(chained(pal_padded, xp0), xp0)
+        t_palp = timed(chained(pal_padded), xp0)
 
         print(json.dumps({
             "case": name, "x": list(xs), "cm": cm, "co": co,
