@@ -68,8 +68,11 @@ def main():
 
     # batch_size_eval 16: measured best on v5e (13.7 vs 13.0 Mvox/s at 8);
     # the reference's own default (8) remains the framework config default.
+    import os
+
+    bs = int(os.environ.get("REPMODE_BENCH_BATCH", "16"))
     cfg = Config(
-        train=TrainConfig(batch_size_eval=16, compute_dtype="bfloat16"),
+        train=TrainConfig(batch_size_eval=bs, compute_dtype="bfloat16"),
         eval=EvalConfig(),
     )
 
@@ -81,8 +84,6 @@ def main():
     vol = rng.standard_normal(VOL_SHAPE).astype(np.float32)
 
     # experiment knob (default = shipping config)
-    import os
-
     mode = os.environ.get("REPMODE_BENCH_PREDICTOR") or None
     predictor = TiledPredictor(cfg, mode=mode)
 

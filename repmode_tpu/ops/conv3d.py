@@ -59,6 +59,54 @@ def conv3d_same(
     )
 
 
+def conv3d_same_tapmajor(
+    x: jax.Array, w: jax.Array, *, compute_dtype=None
+) -> jax.Array:
+    """'same' conv for SMALL output channel counts, tap-major factorization.
+
+    A conv with Co << 128 wastes the MXU: XLA pads Co onto the 128-lane
+    axis, so each of the taps costs a full 128-lane matmul (the s2d-domain
+    conv_out, Co=4, measured 6.2 TFLOPS — tools/bench_edges.py 2026-08-17).
+    Factorize instead:
+
+        z[p, t*Co+o] = sum_i x[p, i] * w[t, i, o]      (ONE matmul, N=T*Co)
+        y[p, o]      = sum_t z[p + offset_t, t*Co+o]   (T shifted adds, VPU)
+
+    The matmul has T*Co output lanes (e.g. 45*4=180) — MXU-shaped — and the
+    shifted adds are bandwidth work. Same contraction, reassociated: exact
+    in fp32, bf16 rounds z once per 128-deep partial (the usual compute-
+    dtype policy). Output fp32 (eval path; not used under AD).
+    """
+    kd, kh, kw, ci, co = w.shape
+    n, d, h, wl, _ = x.shape
+    t = kd * kh * kw
+    x = _cast(x, compute_dtype)
+    w2 = _cast(
+        w.reshape(t, ci, co).transpose(1, 0, 2).reshape(ci, t * co),
+        compute_dtype,
+    )
+    z = jnp.einsum(
+        "ndhwc,ck->ndhwk", x, w2,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32)
+        if compute_dtype is None else None,
+    )
+    pd_, ph_, pw_ = (kd - 1) // 2, (kh - 1) // 2, (kw - 1) // 2
+    zp = jnp.pad(
+        z, ((0, 0), (pd_, pd_), (ph_, ph_), (pw_, pw_), (0, 0))
+    )
+    y = jnp.zeros(x.shape[:4] + (co,), jnp.float32)
+    ti = 0
+    for dz in range(kd):
+        for dy in range(kh):
+            for dx in range(kw):
+                y = y + zp[
+                    :, dz : dz + d, dy : dy + h, dx : dx + wl,
+                    ti * co : (ti + 1) * co,
+                ].astype(jnp.float32)
+                ti += 1
+    return y
+
+
 def downsample2x_conv(x: jax.Array, w: jax.Array, *, compute_dtype=None) -> jax.Array:
     """Stride-2 kernel-2 conv (reference Conv3d(k=2,s=2,bias=False), RepMode.py:81).
 

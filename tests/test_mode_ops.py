@@ -109,6 +109,25 @@ class TestMergeIdentity:
             assert np.any(np.asarray(leaf) != 0)
 
 
+class TestTapMajorConv:
+    @pytest.mark.parametrize("kshape", [(5, 3, 3), (5, 5, 5), (3, 3, 3)])
+    def test_matches_conv3d_same(self, rng, kshape):
+        from repmode_tpu.ops.conv3d import conv3d_same, conv3d_same_tapmajor
+
+        kd, kh, kw = kshape
+        n, d, h, w_, ci, co = 2, 6, 8, 8, 8, 4
+        x = jnp.asarray(rng.standard_normal((n, d, h, w_, ci)).astype(np.float32))
+        wk = jnp.asarray(
+            rng.standard_normal((kd, kh, kw, ci, co)).astype(np.float32) * 0.1
+        )
+        ref = conv3d_same(x, wk)
+        out = conv3d_same_tapmajor(x, wk)
+        # reassociated fp32 sums (per-tap partials vs one conv reduction)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+
 class TestResampleOps:
     def test_downsample_matches_lax_conv(self, rng):
         n, ci, co = 2, 3, 4

@@ -105,6 +105,12 @@ def main():
     case("conv_out_s2d(co=4)+d2s", 2 * vox1 * 45 * 128 * 4,
          lambda x, w: depth_to_space_hw(conv3d_same(x, w, compute_dtype=bf)),
          t((B, 32, 64, 64, 128)), t((5, 3, 3, 128, 4)))
+    from repmode_tpu.ops.conv3d import conv3d_same_tapmajor
+
+    case("conv_out_tapmajor+d2s", 2 * vox1 * 45 * 128 * 4,
+         lambda x, w: depth_to_space_hw(
+             conv3d_same_tapmajor(x, w, compute_dtype=bf)),
+         t((B, 32, 64, 64, 128)), t((5, 3, 3, 128, 4)))
     case("L1_single_conv(128->128)", 2 * vox1 * 45 * 128 * 128,
          lambda x, w, b: cbr(x, w, b),
          t((B, 32, 64, 64, 128)), t((5, 3, 3, 128, 128)), t((128,)))
