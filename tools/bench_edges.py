@@ -111,6 +111,9 @@ def main():
          lambda x, w: depth_to_space_hw(
              conv3d_same_tapmajor(x, w, compute_dtype=bf)),
          t((B, 32, 64, 64, 128)), t((5, 3, 3, 128, 4)))
+    # (A dual K-major expansion for enc1 conv1 (ci=4) was tried and OOM'd:
+    # every materialized 4-channel slice pads 32x on the lane axis — the
+    # 45-slice concat needed 23.5G HBM. Rejected 2026-08-17.)
     case("L1_single_conv(128->128)", 2 * vox1 * 45 * 128 * 128,
          lambda x, w, b: cbr(x, w, b),
          t((B, 32, 64, 64, 128)), t((5, 3, 3, 128, 128)), t((128,)))
