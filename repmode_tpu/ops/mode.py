@@ -196,23 +196,32 @@ def mode_conv_expert_sum_s2d_domain(
 
     x2: (N,D,h',w',4*Ci_total) phase-major (possibly a concat of s2d
     segments, see channel_sizes); g: (N,E,Co) -> (N,D,h',w',4*Co) fp32.
-    All five branches (5^3/3^3 convs, pointwise convs, box avg-pools) run on
-    lane-filling 4C-channel tensors; narrow-channel activations are never
-    materialized (the 4x layout-padding + low MXU occupancy of C<128 levels,
-    see ARCHITECTURE.md §3).
+    All five branches run on lane-filling 4C-channel tensors; narrow-channel
+    activations are never materialized (the 4x layout-padding + low MXU
+    occupancy of C<128 levels, see ARCHITECTURE.md §3).
+
+    The avg-pool branches are COMPOSED into dense s2d convs,
+    conv1(avg_k(x)) == conv(x, (1/k^3)*broadcast(w1)) — the same composition
+    the reference's routing() merge performs (RepMode.py:176-180). Measured
+    motivation (tools/bench_train_layer.py, 2026-08-17): the explicit
+    s2d-domain box pool costs 36-39 ms at the L1 train shape (its per-phase
+    slicing materializes 32-lane-minor tensors) while the composed dense
+    conv costs ~6 ms; gradients flow to wa3/wa5 through the broadcast.
     """
-    from repmode_tpu.ops.s2d import (
-        avg_pool_same_s2d,
-        s2d_conv1_kernel,
-        s2d_conv_kernel,
-    )
+    from repmode_tpu.ops.s2d import s2d_conv1_kernel, s2d_conv_kernel
 
     cs = tuple(channel_sizes) if channel_sizes else (ek.w5.shape[3],)
+    ones3 = jnp.full((3, 3, 3, 1, 1), 1.0 / 27.0, ek.wa3.dtype)
+    ones5 = jnp.full((5, 5, 5, 1, 1), 1.0 / 125.0, ek.wa5.dtype)
     k5 = _split_s2d_kernel(s2d_conv_kernel, ek.w5, cs)
     k3 = _split_s2d_kernel(s2d_conv_kernel, ek.w3, cs)
     k1 = _split_s2d_kernel(s2d_conv1_kernel, ek.w1, cs)
-    ka3 = _split_s2d_kernel(s2d_conv1_kernel, ek.wa3, cs)
-    ka5 = _split_s2d_kernel(s2d_conv1_kernel, ek.wa5, cs)
+    ka3 = _split_s2d_kernel(
+        lambda w: s2d_conv_kernel(ones3 * w), ek.wa3, cs
+    )
+    ka5 = _split_s2d_kernel(
+        lambda w: s2d_conv_kernel(ones5 * w), ek.wa5, cs
+    )
 
     def cv(inp, w):
         return conv3d_same(
@@ -220,13 +229,11 @@ def mode_conv_expert_sum_s2d_domain(
             accum_dtype=jnp.float32 if compute_dtype is None else None,
         )
 
-    pooled3 = avg_pool_same_s2d(x2, 3, cs)
-    pooled5 = avg_pool_same_s2d(x2, 5, cs)
     y5 = cv(x2, k5)
     y3 = cv(x2, k3)
     yc1 = cv(x2, k1)
-    ya3 = cv(pooled3, ka3)
-    ya5 = cv(pooled5, ka5)
+    ya3 = cv(x2, ka3)
+    ya5 = cv(x2, ka5)
 
     gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
 

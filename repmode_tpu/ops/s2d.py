@@ -133,99 +133,6 @@ def upsample_to_s2d(x: jax.Array, w: jax.Array, *, compute_dtype=None) -> jax.Ar
     return y.reshape(n, 2 * d, hh, ww, 4 * co)
 
 
-def _box1d_s2d(xv: jax.Array, k: int, spatial_axis: int, phase_axis: int) -> jax.Array:
-    """Box-sum of native window k along a halved axis of an s2d-view tensor.
-
-    xv: (..., h', w', py, px, C)-style view where `spatial_axis` is the halved
-    spatial dim and `phase_axis` its phase dim (size 2). Native index
-    m = 2*m' + phase; out phase q at m' sums x[m + dx] for dx in [-r, r]:
-    each (q, dx) maps to input phase p = (q+dx) mod 2 shifted by
-    t = (q + dx - p) // 2. Zero padding (count_include_pad) as in the native
-    box filter.
-    """
-    from jax import lax
-
-    r = (k - 1) // 2
-    n = xv.shape[spatial_axis]
-
-    def shifted(p: int, t: int) -> jax.Array:
-        xp = lax.slice_in_dim(xv, p, p + 1, axis=phase_axis)
-        if t == 0:
-            return xp
-        pad = [(0, 0)] * xv.ndim
-        if t > 0:
-            pad[spatial_axis] = (0, t)
-            xpad = jnp.pad(xp, pad)
-            return lax.slice_in_dim(xpad, t, t + n, axis=spatial_axis)
-        pad[spatial_axis] = (-t, 0)
-        xpad = jnp.pad(xp, pad)
-        return lax.slice_in_dim(xpad, 0, n, axis=spatial_axis)
-
-    outs = []
-    for q in range(2):
-        acc = None
-        for dx in range(-r, r + 1):
-            p = (q + dx) % 2
-            t = (q + dx - p) // 2
-            term = shifted(p, t)
-            acc = term if acc is None else acc + term
-        outs.append(acc)
-    return jnp.concatenate(outs, axis=phase_axis)
-
-
-import functools
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def avg_pool_same_s2d(x2: jax.Array, k: int, channel_sizes=None) -> jax.Array:
-    """k^3 average pool (stride 1, zero 'same' pad) on an s2d-domain tensor.
-
-    x2: (N, D, h', w', 4C) phase-major. channel_sizes: native channel widths
-    of concatenated s2d segments (e.g. decoder concat of skip+up); each
-    segment has its own phase-block layout and pools independently.
-
-    Custom VJP: the native box filter is self-adjoint and s2d is a
-    permutation, so the s2d-domain pool is self-adjoint too — backward is the
-    same pool on the cotangent (the phase-shift chain's transpose otherwise
-    blows up backward memory).
-    """
-    return _avg_pool_s2d_impl(x2, k, channel_sizes)
-
-
-def _avg_pool_s2d_impl(x2: jax.Array, k: int, channel_sizes=None) -> jax.Array:
-    c4 = x2.shape[-1]
-    if channel_sizes is None:
-        channel_sizes = (c4 // 4,)
-    assert sum(channel_sizes) * 4 == c4, (channel_sizes, c4)
-
-    from repmode_tpu.ops.conv3d import _box1d
-
-    outs = []
-    off = 0
-    for c in channel_sizes:
-        seg = x2[..., off : off + 4 * c]
-        off += 4 * c
-        n, d, hh, ww, _ = seg.shape
-        v = seg.reshape(n, d, hh, ww, 2, 2, c)
-        v = _box1d(v, k, 1)            # native D axis: plain box
-        v = _box1d_s2d(v, k, 2, 4)     # H: halved axis 2, phase py axis 4
-        v = _box1d_s2d(v, k, 3, 5)     # W: halved axis 3, phase px axis 5
-        outs.append(v.reshape(n, d, hh, ww, 4 * c))
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
-    return out * jnp.asarray(1.0 / k**3, out.dtype)
-
-
-def _avg_pool_s2d_fwd(x2, k, channel_sizes):
-    return _avg_pool_s2d_impl(x2, k, channel_sizes), None
-
-
-def _avg_pool_s2d_bwd(k, channel_sizes, _, g):
-    return (_avg_pool_s2d_impl(g, k, channel_sizes),)
-
-
-avg_pool_same_s2d.defvjp(_avg_pool_s2d_fwd, _avg_pool_s2d_bwd)
-
-
 def downsample_s2d_domain(
     x2: jax.Array, w2: jax.Array, *, compute_dtype=None, trim_d_halo: int = 0
 ) -> jax.Array:

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--decomp", action="store_true",
+                    help="also time fwd-only and fwd+bwd to decompose the "
+                         "step cost")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +65,46 @@ def main():
         "task": jnp.asarray(rng.integers(0, 12, n), jnp.int32),
     }
 
+    def timed(fn, *fargs):
+        out = fn(*fargs)
+        _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])
+        ts = []
+        for _i in range(args.steps):
+            t0 = time.perf_counter()
+            out = fn(*fargs)
+            _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    rec = {
+        "batch": n, "patch": list(patch), "remat": args.remat,
+        "device": jax.devices()[0].device_kind,
+    }
+
+    if args.decomp:
+        from repmode_tpu.models import build_model
+
+        net = build_model(cfg)
+
+        @jax.jit
+        def fwd_only(params, stats, b):
+            out, _ = net.apply(
+                {"params": params, "batch_stats": stats},
+                b["signal"], b["task"], train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean((out - b["target"]) ** 2)
+
+        t = timed(fwd_only, state.params, state.batch_stats, batch)
+        rec["fwd_only_ms"] = round(t * 1e3, 1)
+        print(json.dumps({"fwd_only_ms": rec["fwd_only_ms"]}), flush=True)
+
+        grad_fn = jax.jit(jax.grad(
+            lambda p, s, b: fwd_only.__wrapped__(p, s, b)
+        ))
+        t = timed(grad_fn, state.params, state.batch_stats, batch)
+        rec["fwd_bwd_ms"] = round(t * 1e3, 1)
+        print(json.dumps({"fwd_bwd_ms": rec["fwd_bwd_ms"]}), flush=True)
+
     state, m = step(state, batch)  # compile + warmup
     _ = float(m["loss"])
     times = []
@@ -72,14 +115,9 @@ def main():
         times.append(time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]
     vox = n * int(np.prod(patch))
-    print(json.dumps({
-        "ms_per_step": round(med * 1e3, 1),
-        "train_voxels_per_s": round(vox / med, 1),
-        "batch": n,
-        "patch": list(patch),
-        "remat": args.remat,
-        "device": jax.devices()[0].device_kind,
-    }))
+    rec["ms_per_step"] = round(med * 1e3, 1)
+    rec["train_voxels_per_s"] = round(vox / med, 1)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
