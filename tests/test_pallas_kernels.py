@@ -1,4 +1,4 @@
-"""Pallas kernels (interpret mode on CPU): conv3d and MoDE merge parity."""
+"""Pallas conv kernels (interpret mode on CPU): parity vs lax convs."""
 
 import jax
 import jax.numpy as jnp
@@ -6,14 +6,7 @@ import numpy as np
 import pytest
 
 from repmode_tpu.ops.conv3d import conv3d_same
-from repmode_tpu.ops.mode import (
-    ExpertKernels,
-    expert_bank,
-    gate_logits_to_weights,
-    merge_kernels,
-)
 from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_dpad, pallas_conv3d_same
-from repmode_tpu.ops.pallas.merge import pallas_merge_kernels
 
 
 def arr(rng, shape, scale=0.2):
@@ -39,35 +32,6 @@ class TestPallasConv:
             x, wk, h_tile=4, compute_dtype=jnp.float32, interpret=True
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
-
-
-class TestPallasMerge:
-    def test_matches_reference_merge(self, rng):
-        ci, co, e = 3, 8, 5
-        ek = ExpertKernels(
-            arr(rng, (5, 5, 5, ci, co)),
-            arr(rng, (3, 3, 3, ci, co)),
-            arr(rng, (1, 1, 1, ci, co)),
-            arr(rng, (1, 1, 1, ci, co)),
-            arr(rng, (1, 1, 1, ci, co)),
-        )
-        logits = arr(rng, (e * co,), 1.0)
-        g = gate_logits_to_weights(logits[None], e, co)  # (1,E,Co)
-        ref = merge_kernels(ek, g)[0]  # (5,5,5,ci,co)
-
-        bank = expert_bank(ek, 5).reshape(e, 125 * ci, co)
-        out = pallas_merge_kernels(
-            logits.reshape(e, co), bank, interpret=True
-        ).reshape(5, 5, 5, ci, co)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
-
-    def test_tap_tiling(self, rng):
-        e, r, co = 5, 64, 8
-        bank = arr(rng, (e, r, co))
-        logits = arr(rng, (e, co), 1.0)
-        full = pallas_merge_kernels(logits, bank, tap_tile=r, interpret=True)
-        tiled = pallas_merge_kernels(logits, bank, tap_tile=16, interpret=True)
-        np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), rtol=1e-6)
 
 
 class TestFusedEpilogue:
