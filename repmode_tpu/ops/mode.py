@@ -207,6 +207,9 @@ def mode_conv_expert_sum_s2d_domain(
     s2d-domain box pool costs 36-39 ms at the L1 train shape (its per-phase
     slicing materializes 32-lane-minor tensors) while the composed dense
     conv costs ~6 ms; gradients flow to wa3/wa5 through the broadcast.
+    (Grouping same-tap-shape experts into double-width convs was tried and
+    measured a wash — 713.9 vs 712.5 ms/step — so the five separate convs
+    stay for simplicity.)
     """
     from repmode_tpu.ops.s2d import s2d_conv1_kernel, s2d_conv_kernel
 
