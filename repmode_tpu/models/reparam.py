@@ -186,14 +186,12 @@ def plain_forward_s2d(
     s2d_levels: tuple,
     *,
     compute_dtype: Optional[jnp.dtype] = None,
-    pallas_conv: bool = False,
 ) -> jax.Array:
     """Run the re-parameterized net with s2d execution on `s2d_levels`.
 
     `plain` must come from to_s2d_plain with the same levels. Produces the
-    same function as plain_forward (fp reassociation aside). pallas_conv
-    routes the s2d-domain (kD,3,3) convs through the hand-written
-    double-buffered kernel (ops/pallas/conv3d.py).
+    same function as plain_forward (fp reassociation aside). The Pallas
+    opt-in lives in plain_forward_s2d_pallas (cfg.eval.pallas_conv).
 
     The decoder stays in the s2d domain across consecutive s2d levels
     (upsample_s2d_to_s2d / upsample_to_s2d — the MXU-hostile narrow-channel
@@ -203,34 +201,8 @@ def plain_forward_s2d(
     cdt = compute_dtype
     s2d = set(s2d_levels)
 
-    def _pallas_ok(w):
-        # (kD,3,3) taps with lane-aligned channels (Mosaic DMA slices need
-        # the lane dim % 128). The 4-channel edge convs (image input, final
-        # output) fall back to XLA — negligible FLOPs.
-        return (
-            pallas_conv
-            and w.shape[1] == 3 and w.shape[2] == 3
-            and w.shape[3] % 128 == 0 and w.shape[4] % 128 == 0
-        )
-
-    def _conv(h, w):
-        if _pallas_ok(w):
-            from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_same
-
-            return pallas_conv3d_same(h, w, compute_dtype=cdt or jnp.float32)
-        return conv3d_same(h, w, compute_dtype=cdt)
-
     def cbr(h, w, b):
-        if _pallas_ok(w):
-            from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_same
-
-            # fused conv+bias+ReLU epilogue in-kernel
-            return pallas_conv3d_same(
-                h, w, b, relu=True,
-                compute_dtype=cdt or jnp.float32,
-                out_dtype=cdt or jnp.float32,
-            )
-        return jax.nn.relu(_conv(h, w) + b)
+        return jax.nn.relu(conv3d_same(h, w, compute_dtype=cdt) + b)
 
     def run_subnet(h, blk):
         return cbr(cbr(h, blk["conv1_w"], blk["conv1_b"]), blk["conv2_w"], blk["conv2_b"])
