@@ -163,10 +163,11 @@ int64_t lzw_decode(const uint8_t* src, int64_t src_len, uint8_t* dst,
       }
     }
     prev = code;
-    // early change, decoder side: the decoder's table lags the encoder's by
-    // one entry, so it widens one code earlier than the encoder's
-    // (1<<bits)-1 transition.
-    if (next_code == (1 << code_bits) - 2 && code_bits < kMaxBits) {
+    // "Early change" (TIFF6 spec / libtiff): the decoder widens as soon as
+    // the next free entry reaches (1<<bits)-1 -- one entry before the table
+    // could actually address it. Verified empirically both directions against
+    // libtiff (Pillow tiff_lzw) in tests/test_native.py::TestLZWOracle.
+    if (next_code == (1 << code_bits) - 1 && code_bits < kMaxBits) {
       ++code_bits;
     }
   }

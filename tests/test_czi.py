@@ -23,12 +23,12 @@ def _segment(sid: bytes, payload: bytes, min_payload: int = 0) -> bytes:
     return struct.pack("<16sqq", sid, alloc, used) + payload
 
 
-def _dir_entry(pixel_type: int, file_position: int, dims) -> bytes:
+def _dir_entry(pixel_type: int, file_position: int, dims, compression: int = 0) -> bytes:
     out = b"DV"
     out += struct.pack("<i", pixel_type)
     out += struct.pack("<q", file_position)
     out += struct.pack("<i", 0)  # file_part
-    out += struct.pack("<i", 0)  # compression: uncompressed
+    out += struct.pack("<i", compression)
     out += b"\x00" * 6           # pyramid_type + spare
     out += struct.pack("<i", len(dims))
     for (name, start, size, stored) in dims:
@@ -36,8 +36,11 @@ def _dir_entry(pixel_type: int, file_position: int, dims) -> bytes:
     return out
 
 
-def write_czi(path, data: np.ndarray, axes="CZYX", xml=b"<ImageDocument><Metadata><Scaling><Items><Distance Id=\"X\"><Value>1.08e-07</Value></Distance></Items></Scaling></Metadata></ImageDocument>"):
-    """data: (C, Z, Y, X) uint16; one subblock per (C, Z) plane pair."""
+def write_czi(path, data: np.ndarray, axes="CZYX", xml=b"<ImageDocument><Metadata><Scaling><Items><Distance Id=\"X\"><Value>1.08e-07</Value></Distance></Items></Scaling></Metadata></ImageDocument>", compression=0):
+    """data: (C, Z, Y, X) uint16; one subblock per channel.
+
+    compression=2 stores each subblock TIFF-LZW-compressed (ZISRAW
+    compression type 2), using the libtiff-verified test encoder."""
     c, z, y, x = data.shape
     segments = []
     pos = 0
@@ -59,8 +62,14 @@ def write_czi(path, data: np.ndarray, axes="CZYX", xml=b"<ImageDocument><Metadat
     for ci in range(c):
         block = data[ci]  # (Z, Y, X)
         dims = [("C", ci, 1, 1), ("Z", 0, z, z), ("Y", 0, y, y), ("X", 0, x, x)]
-        entry = _dir_entry(1, pos, dims)
+        entry = _dir_entry(1, pos, dims, compression)
         raw = block.astype("<u2").tobytes()
+        if compression == 2:
+            from tests.lzw_ref import tiff_lzw_encode
+
+            raw = tiff_lzw_encode(raw)
+        elif compression != 0:
+            raise ValueError(f"writer does not support compression={compression}")
         head = struct.pack("<iiq", 0, 0, len(raw))  # metadata/attachment/data sizes
         inline = head + entry
         # data begins at max(256, entry_size+16) from payload start
@@ -152,6 +161,26 @@ def test_unsupported_compression_raises(tmp_path, czi_path):
     with CziFile(str(bad)) as czi:
         with pytest.raises(NotImplementedError):
             czi.asarray()
+
+
+def test_lzw_compressed_czi_roundtrip(tmp_path, rng):
+    """A genuinely LZW-compressed synthetic CZI decodes end-to-end through
+    CziFile.asarray() (ZISRAW compression 2; ref czifile.py:1181-1184). The
+    encoder used here is pinned to libtiff by test_native.TestLZWOracle."""
+    from repmode_tpu import native
+
+    if native.lib() is None:
+        pytest.skip("native lib unavailable")
+    data = rng.integers(0, 65535, size=(2, 4, 16, 20)).astype(np.uint16)
+    path = str(tmp_path / "lzw.czi")
+    write_czi(path, data, compression=2)
+    with CziFile(path) as czi:
+        assert all(e.compression == 2 for e in czi.entries)
+        arr = czi.asarray()
+    np.testing.assert_array_equal(arr[..., 0], data)
+    r = CziVolumeReader(path)
+    for ci in range(2):
+        np.testing.assert_array_equal(r.get_volume(ci), data[ci])
 
 
 def test_lzw_compressed_garbage_rejected(tmp_path, czi_path):
