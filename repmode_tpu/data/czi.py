@@ -19,10 +19,12 @@ Format summary (ZISRAW spec):
   * DimensionEntryDV1: dimension(4 ascii) start(i4) size(i4)
                        start_coordinate(f4) stored_size(i4)
 
-Scope: uncompressed (and LZW-free) mosaics as produced by the Allen Institute
-microscopes — the data the reference pipeline consumes. Compressed subblocks
-(JPEG / JPEG-XR / zstd) raise NotImplementedError; the optional C++ decode
-extension can be slotted in behind `_decompress`.
+Scope: uncompressed and TIFF-LZW (compression 2) subblocks as produced by the
+Allen Institute microscopes — the data the reference pipeline consumes. LZW
+decodes through the first-party native codec (libtiff-verified,
+tests/test_native.py::TestLZWOracle). Other compressed forms (JPEG / JPEG-XR /
+zstd) raise NotImplementedError. Container parsing is byte-diffed against the
+reference's own vendored parser in tests/test_czi_oracle.py.
 """
 
 from __future__ import annotations
@@ -42,10 +44,13 @@ PIXEL_DTYPES = {
     3: np.dtype("<u1"),    # Bgr24 (3 samples)
     4: np.dtype("<u2"),    # Bgr48 (3 samples)
     8: np.dtype("<f4"),    # Bgr96Float (3 samples)
+    9: np.dtype("<u1"),    # Bgra32 (4 samples)
+    10: np.dtype("<c8"),   # Gray64ComplexFloat
+    11: np.dtype("<c8"),   # Bgr192ComplexFloat (3 samples)
     12: np.dtype("<i4"),   # Gray32
-    13: np.dtype("<f8"),   # Gray64
+    13: np.dtype("<i8"),   # Gray64 (czifile.py:1149 maps 13 -> '<i8')
 }
-PIXEL_SAMPLES = {3: 3, 4: 3, 8: 3}
+PIXEL_SAMPLES = {3: 3, 4: 3, 8: 3, 9: 4, 11: 3}
 
 COMPRESSION_UNCOMPRESSED = 0
 
@@ -75,6 +80,19 @@ class SubBlockEntry:
         self.compression = compression
         self.dimensions: List[DimensionEntry] = dimensions
 
+    @property
+    def dims_no_m(self) -> List[DimensionEntry]:
+        """Dimensions excluding the mosaic-tile index 'M' (czifile.py:666-686
+        excludes M from axes/shape/start the same way)."""
+        return [d for d in self.dimensions if d.dimension != "M"]
+
+    @property
+    def mosaic_index(self) -> Optional[int]:
+        for d in self.dimensions:
+            if d.dimension == "M":
+                return d.start
+        return None
+
 
 def _read_directory_entry(buf: bytes, off: int) -> Tuple[SubBlockEntry, int]:
     schema = buf[off : off + 2]
@@ -93,8 +111,15 @@ def _read_directory_entry(buf: bytes, off: int) -> Tuple[SubBlockEntry, int]:
         start, size = struct.unpack_from("<ii", buf, p + 4)
         start_coord, = struct.unpack_from("<f", buf, p + 12)
         stored, = struct.unpack_from("<i", buf, p + 16)
-        dims.append(DimensionEntry(name, start, size, start_coord, stored))
+        # stored_size == 0 means "same as size" (czifile.py:718 fallback)
+        dims.append(DimensionEntry(name, start, size, start_coord,
+                                   stored if stored else size))
         p += 20
+    # Real CZI files store dimension entries fastest-axis-first (X first);
+    # reversing yields the C-contiguous order of the pixel data. Same
+    # behavior as the reference parser (czifile.py:650-652 "reverse
+    # dimension_entries to match C contiguous data").
+    dims.reverse()
     return SubBlockEntry(pixel_type, file_position, compression, dims), p
 
 
@@ -176,14 +201,25 @@ class CziFile:
     # -- array assembly -------------------------------------------------
     @property
     def axes(self) -> str:
-        """Global axis order: dimension order of the first entry + '0' samples."""
-        dims = [d.dimension for d in self.entries[0].dimensions]
+        """Global axis order: dimension order of the first entry (minus the
+        mosaic index M) + '0' samples (czifile.py:666-669)."""
+        dims = [d.dimension for d in self.entries[0].dims_no_m]
         return "".join(dims) + "0"
+
+    def _assembly_entries(self) -> List[SubBlockEntry]:
+        """Entries in paste order: mosaic files sorted by M index
+        (czifile.py:309-320 filtered_subblock_directory), else file order."""
+        if any(e.mosaic_index is not None for e in self.entries):
+            return sorted(
+                (e for e in self.entries if e.mosaic_index is not None),
+                key=lambda e: e.mosaic_index,
+            )
+        return list(self.entries)
 
     def _global_ranges(self) -> Dict[str, Tuple[int, int]]:
         rng: Dict[str, Tuple[int, int]] = {}
-        for e in self.entries:
-            for d in e.dimensions:
+        for e in self._assembly_entries():
+            for d in e.dims_no_m:
                 lo, hi = rng.get(d.dimension, (d.start, d.start + d.size))
                 rng[d.dimension] = (
                     min(lo, d.start), max(hi, d.start + d.size)
@@ -192,7 +228,7 @@ class CziFile:
 
     def shape(self) -> Tuple[int, ...]:
         rng = self._global_ranges()
-        dims = [d.dimension for d in self.entries[0].dimensions]
+        dims = [d.dimension for d in self.entries[0].dims_no_m]
         samples = PIXEL_SAMPLES.get(self.entries[0].pixel_type, 1)
         return tuple(rng[d][1] - rng[d][0] for d in dims) + (samples,)
 
@@ -214,9 +250,19 @@ class CziFile:
             raw = self._decompress(entry, raw)
         dtype = PIXEL_DTYPES[entry.pixel_type]
         samples = PIXEL_SAMPLES.get(entry.pixel_type, 1)
-        shape = tuple(d.stored_size for d in entry.dimensions) + (samples,)
-        arr = np.frombuffer(raw, dtype=dtype)
-        return arr.reshape(shape)
+        stored = tuple(d.stored_size for d in entry.dims_no_m) + (samples,)
+        full = tuple(d.size for d in entry.dims_no_m) + (samples,)
+        arr = np.frombuffer(raw, dtype=dtype).reshape(stored)
+        if stored != full:
+            # Pyramid / sub-sampled subblock: resample up to the declared
+            # size, bilinear, like the reference (czifile.py:575-598).
+            from scipy.ndimage import zoom
+
+            factors = [1.0 if abs(1.0 - j / i) < 1e-4 else j / i
+                       for i, j in zip(stored, full)]
+            arr = zoom(arr, zoom=factors, order=1)
+            arr = arr.reshape(full)
+        return arr
 
     def _decompress(self, entry: SubBlockEntry, raw: bytes) -> bytes:
         if entry.compression == 2:  # LZW (TIFF variant)
@@ -224,7 +270,7 @@ class CziFile:
 
             samples = PIXEL_SAMPLES.get(entry.pixel_type, 1)
             expected = (
-                int(np.prod([d.stored_size for d in entry.dimensions]))
+                int(np.prod([d.stored_size for d in entry.dims_no_m]))
                 * samples
                 * PIXEL_DTYPES[entry.pixel_type].itemsize
             )
@@ -240,16 +286,16 @@ class CziFile:
     def asarray(self) -> np.ndarray:
         """Assemble all subblocks into one array, axes = self.axes."""
         rng = self._global_ranges()
-        dims = [d.dimension for d in self.entries[0].dimensions]
+        dims = [d.dimension for d in self.entries[0].dims_no_m]
         samples = PIXEL_SAMPLES.get(self.entries[0].pixel_type, 1)
         shape = tuple(rng[d][1] - rng[d][0] for d in dims) + (samples,)
         out = np.zeros(shape, PIXEL_DTYPES[self.entries[0].pixel_type])
-        for e in self.entries:
+        for e in self._assembly_entries():
             data = self._read_subblock_data(e)
             index = tuple(
                 slice(d.start - rng[d.dimension][0],
-                      d.start - rng[d.dimension][0] + d.stored_size)
-                for d in e.dimensions
+                      d.start - rng[d.dimension][0] + d.size)
+                for d in e.dims_no_m
             ) + (slice(None),)
             out[index] = data
         return out

@@ -61,7 +61,10 @@ def write_czi(path, data: np.ndarray, axes="CZYX", xml=b"<ImageDocument><Metadat
     entries = []
     for ci in range(c):
         block = data[ci]  # (Z, Y, X)
-        dims = [("C", ci, 1, 1), ("Z", 0, z, z), ("Y", 0, y, y), ("X", 0, x, x)]
+        # On-disk dimension entries are fastest-axis-first (X first), the
+        # reverse of the C-contiguous data order — matching real Zeiss files
+        # and the reference parser's reversal (czifile.py:650-652).
+        dims = [("X", 0, x, x), ("Y", 0, y, y), ("Z", 0, z, z), ("C", ci, 1, 1)]
         entry = _dir_entry(1, pos, dims, compression)
         raw = block.astype("<u2").tobytes()
         if compression == 2:
