@@ -56,6 +56,25 @@ def build_stores(cfg, logger, synthetic: bool = False):
     return stores
 
 
+def snapshot_sources(cfg):
+    """Key source files to snapshot into the run record (reference
+    main.py:100-106 wandb.save of SSPdataset/fnet_model/<nn_module>/config)."""
+    import os
+
+    import repmode_tpu
+
+    pkg = os.path.dirname(repmode_tpu.__file__)
+    model_file = {"RepMode": "repmode.py", "UNet": "unet.py"}.get(cfg.model.name)
+    files = [
+        os.path.join(pkg, "data", "sampler.py"),
+        os.path.join(pkg, "train", "step.py"),
+        os.path.join(pkg, "config.py"),
+    ]
+    if model_file:
+        files.insert(2, os.path.join(pkg, "models", model_file))
+    return files
+
+
 def main(argv=None):
     t0 = time.time()
     ns = build_parser().parse_args(argv)
@@ -77,6 +96,7 @@ def main(argv=None):
         tags=cfg.tags,
         offline=cfg.debugging or cfg.exp_name == "integ_dataset",
         run_id=ns.id,
+        code_files=snapshot_sources(cfg),
     )
 
     stores = build_stores(cfg, logger, synthetic=ns.synthetic)

@@ -28,16 +28,25 @@ class Tracker:
         tags=(),
         offline: bool = False,
         run_id: Optional[str] = None,
+        entry_point: str = "train",
+        code_files=(),
     ):
         self._jsonl = None
+        self._code_files = []
         if log_dir is not None:
             os.makedirs(log_dir, exist_ok=True)
             self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
             if config is not None:
                 # snapshot the full run config next to the metrics
-                # (reference main.py:107-108 json.dump(vars(opts)))
-                with open(os.path.join(log_dir, "config.json"), "w") as f:
+                # (reference main.py:107-108 json.dump(vars(opts))). Named
+                # per entry point so an evaluate run pointed at the same
+                # logs dir cannot clobber the training run's record.
+                name = ("config.json" if entry_point == "train"
+                        else f"config_{entry_point}.json")
+                with open(os.path.join(log_dir, name), "w") as f:
                     json.dump(config, f, indent=2, sort_keys=True)
+            if code_files:
+                self._snapshot_code(log_dir, code_files)
         self.summary: Dict = {}
         self._wandb = None
         if not offline:
@@ -60,6 +69,29 @@ class Tracker:
                     log.warning("wandb.init failed (%s: %s) — local JSONL "
                                 "tracking only", type(e).__name__, e)
                     self._wandb = None
+            if self._wandb is not None and self._code_files:
+                # mirror the local code snapshot into the run
+                # (reference main.py:100-106 wandb.save of the key sources)
+                for src in self._code_files:
+                    try:
+                        self._wandb.save(src, policy="now")
+                    except Exception as e:
+                        log.warning("wandb.save(%s) failed: %s", src, e)
+
+    def _snapshot_code(self, log_dir: str, files):
+        """Copy key source files into <log_dir>/code/ and, when wandb is on,
+        save them into the run (reference main.py:100-106 wandb.save of
+        SSPdataset/fnet_model/<nn_module>/config)."""
+        import shutil
+
+        code_dir = os.path.join(log_dir, "code")
+        os.makedirs(code_dir, exist_ok=True)
+        for src in files:
+            if not os.path.isfile(src):
+                log.warning("code snapshot: %s not found, skipped", src)
+                continue
+            shutil.copy2(src, os.path.join(code_dir, os.path.basename(src)))
+            self._code_files.append(src)
 
     def log(self, d: Dict):
         if self._jsonl is not None:

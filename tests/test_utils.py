@@ -47,6 +47,37 @@ def test_tracker_config_snapshot(tmp_path):
     assert tuple(snap["data"]["adopted_datasets"]) == cfg.data.adopted_datasets
 
 
+def test_tracker_eval_config_does_not_clobber_train(tmp_path):
+    """An evaluate run pointed at the same logs dir must not overwrite the
+    training run's config.json (the reference writes the options file once
+    per training run, main.py:107-108)."""
+    tr = Tracker(str(tmp_path), config={"phase": "train"}, offline=True)
+    tr.finish()
+    ev = Tracker(str(tmp_path), config={"phase": "eval"}, offline=True,
+                 entry_point="evaluate")
+    ev.finish()
+    assert json.load(open(tmp_path / "config.json"))["phase"] == "train"
+    assert json.load(open(tmp_path / "config_evaluate.json"))["phase"] == "eval"
+
+
+def test_tracker_code_snapshot(tmp_path):
+    """Key sources are snapshotted into <logs>/code/ (reference
+    main.py:100-106 wandb.save of SSPdataset/fnet_model/<nn>/config)."""
+    from repmode_tpu.cli.train import snapshot_sources
+    from repmode_tpu.config import Config
+
+    files = snapshot_sources(Config())
+    assert all(os.path.isfile(f) for f in files), files
+    tr = Tracker(str(tmp_path), offline=True,
+                 code_files=list(files) + [str(tmp_path / "missing.py")])
+    tr.finish()
+    snapped = sorted(os.listdir(tmp_path / "code"))
+    assert snapped == sorted(os.path.basename(f) for f in files)
+    for f in files:  # byte-identical copies
+        with open(f, "rb") as a, open(tmp_path / "code" / os.path.basename(f), "rb") as b:
+            assert a.read() == b.read()
+
+
 def test_flops_model():
     """The analytic FLOP model that grounds bench.py's TFLOPS/MFU claims."""
     from repmode_tpu.config import ModelConfig
