@@ -66,6 +66,11 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="run on procedurally generated data (no CZI corpus)")
     p.add_argument("--mult_chan", type=int, default=32)
+    p.add_argument("--on_device_pipeline", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="HBM-resident patch pipeline (auto = on when the "
+                        "volume bank fits the budget; off = host sampler, "
+                        "exact reference batching incl. ragged tails)")
     return p
 
 
@@ -90,6 +95,9 @@ def to_config(ns: argparse.Namespace, exp_name: Optional[str] = None) -> Config:
             epoch_checkpoint=tuple(ns.epoch_checkpoint),
             interval_checkpoint=ns.interval_checkpoint,
             num_devices=ns.num_devices,
+            on_device_pipeline={"auto": None, "on": True, "off": False}[
+                ns.on_device_pipeline
+            ],
         ),
         eval=EvalConfig(
             save_test_preds=ns.save_test_preds,

@@ -263,6 +263,19 @@ def plain_forward_s2d(
     return conv3d_same(h, plain["conv_out_w"], compute_dtype=cdt)
 
 
+def pallas_geometry_ok(cfg: ModelConfig) -> bool:
+    """Whether the dpad Pallas chain supports this model geometry.
+
+    pallas_conv3d_dpad assumes 3x3 H/W taps (native kernel_size=5 after the
+    s2d transform; the hard-coded pd=(k-1)//2=2 depth halo and the decoder's
+    1-pixel H/W pads encode the same fact) and lane-filling %128 s2d
+    channels (4*mult_chan at the shallowest s2d level). Anything else must
+    fall back to plain_forward_s2d rather than hit bare asserts deep in the
+    kernel (round-2 advisor finding).
+    """
+    return cfg.kernel_size == 5 and cfg.mult_chan % 32 == 0
+
+
 def plain_forward_s2d_pallas(
     plain: Params,
     x: jax.Array,
@@ -424,7 +437,19 @@ def make_inference(cfg) -> tuple:
         p = reparameterize(variables, cfg.model, num_tasks, task_id)
         return to_s2d_plain(p, cfg.model, levels) if levels else p
 
-    if levels and cfg.eval.pallas_conv:
+    use_pallas = levels and cfg.eval.pallas_conv
+    if use_pallas and not pallas_geometry_ok(cfg.model):
+        import logging
+
+        logging.getLogger("repmode_tpu").warning(
+            "eval.pallas_conv=True but the model geometry (kernel_size=%d, "
+            "mult_chan=%d) is outside the dpad kernel's support (needs "
+            "kernel_size=5 -> 3x3 s2d taps, mult_chan %% 32 == 0 -> %%128 "
+            "s2d channels) — falling back to the XLA s2d path",
+            cfg.model.kernel_size, cfg.model.mult_chan,
+        )
+        use_pallas = False
+    if use_pallas:
         forward = functools.partial(
             plain_forward_s2d_pallas, cfg=cfg.model, s2d_levels=levels,
             compute_dtype=cdt,

@@ -113,17 +113,13 @@ def mode_conv_expert_sum(
     g: jax.Array,
     *,
     compute_dtype=None,
-    s2d: bool = False,
 ) -> jax.Array:
     """Training-path MoDE conv: 5 shared-kernel batch convs + gated combine.
 
     x: (N,D,H,W,Ci), g: (N,E,Co) -> (N,D,H,W,Co) fp32.
     Exactly equals conv(x_n, merged_kernel_n) by linearity (see module doc).
-
-    s2d=True runs the 5^3/3^3 expert convs in the space-to-depth domain
-    (ops/s2d.py) to fill the MXU lanes on narrow-channel levels. The kernel
-    transform is a constant-matrix einsum, so gradients flow to the original
-    expert kernels unchanged. The cheap 1^3 branches stay native.
+    The s2d-domain formulation of the same contract lives in
+    mode_conv_expert_sum_s2d_domain — the ONLY s2d execution path.
     """
 
     def cv(inp, w):
@@ -137,19 +133,8 @@ def mode_conv_expert_sum(
     # The three 1^3 branches are channel matmuls over x, avg3(x), avg5(x).
     pooled3 = avg_pool_same(x, 3)
     pooled5 = avg_pool_same(x, 5)
-    if s2d:
-        from repmode_tpu.ops.s2d import (
-            depth_to_space_hw,
-            s2d_conv_kernel,
-            space_to_depth_hw,
-        )
-
-        x2 = space_to_depth_hw(x)
-        y5 = depth_to_space_hw(cv(x2, s2d_conv_kernel(ek.w5)))
-        y3 = depth_to_space_hw(cv(x2, s2d_conv_kernel(ek.w3)))
-    else:
-        y5 = cv(x, ek.w5)
-        y3 = cv(x, ek.w3)
+    y5 = cv(x, ek.w5)
+    y3 = cv(x, ek.w3)
     yc1 = cv(x, ek.w1)
     ya3 = cv(pooled3, ek.wa3)
     ya5 = cv(pooled5, ek.wa5)

@@ -70,3 +70,21 @@ def test_make_inference_consistency(net_vars, rng):
     prep2, fwd2 = make_inference(cfg_off)
     y2 = jax.jit(fwd2)(prep2(variables, 1), x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_geometry_fallback(net_vars, caplog):
+    """pallas_conv=True with unsupported geometry (kernel_size!=5 or narrow
+    mult_chan) must fall back to the XLA s2d path with a logged warning, not
+    hit bare asserts deep in the dpad kernel (round-2 advisor finding)."""
+    import logging
+
+    from repmode_tpu.models.reparam import pallas_geometry_ok
+
+    cfg, _ = net_vars
+    assert not pallas_geometry_ok(cfg.model)  # tiny test net: mult_chan % 32 != 0
+    cfg_p = cfg.replace(eval=cfg.eval.__class__(pallas_conv=True))
+    with caplog.at_level(logging.WARNING, logger="repmode_tpu"):
+        _, forward = make_inference(cfg_p)
+    assert forward.func is plain_forward_s2d
+    assert any("falling back to the XLA s2d path" in r.message
+               for r in caplog.records)

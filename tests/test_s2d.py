@@ -103,9 +103,17 @@ class TestTrainS2d:
             np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7
         )
 
-    def test_expert_sum_s2d_matches(self, rng):
-        from repmode_tpu.ops.mode import ExpertKernels, gate_logits_to_weights, mode_conv_expert_sum
-        import jax.numpy as jnp
+    def test_expert_sum_s2d_domain_matches(self, rng):
+        """The production s2d-domain expert sum (ops/mode.py
+        mode_conv_expert_sum_s2d_domain — the only s2d execution path) equals
+        the native expert sum after the domain round-trip."""
+        from repmode_tpu.ops.mode import (
+            ExpertKernels,
+            gate_logits_to_weights,
+            mode_conv_expert_sum,
+            mode_conv_expert_sum_s2d_domain,
+        )
+        from repmode_tpu.ops.s2d import depth_to_space_hw, space_to_depth_hw
 
         n, ci, co = 2, 3, 4
         x = arr(rng, (n, 4, 8, 12, ci))
@@ -117,8 +125,10 @@ class TestTrainS2d:
             arr(rng, (1, 1, 1, ci, co)) * 0.1,
         )
         g = gate_logits_to_weights(arr(rng, (n, 5 * co)), 5, co)
-        y0 = mode_conv_expert_sum(x, ek, g, s2d=False)
-        y1 = mode_conv_expert_sum(x, ek, g, s2d=True)
+        y0 = mode_conv_expert_sum(x, ek, g)
+        y1 = depth_to_space_hw(
+            mode_conv_expert_sum_s2d_domain(space_to_depth_hw(x), ek, g)
+        )
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-5, atol=1e-6)
 
     def test_s2d_kernel_transform_is_differentiable(self, rng):
