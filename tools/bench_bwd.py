@@ -112,31 +112,34 @@ def main():
     for name, (mod, xs) in cases.items():
         variables = mod.init(jax.random.PRNGKey(0), *xs, emb, train=True)
 
-        def apply_loss(inp, params, batch_stats):
+        # NOTE: extra inputs (decoder skips, up to 536 MB) must be jit
+        # ARGUMENTS — closing over them bakes them into the HLO as
+        # constants, which blows the remote-compile body limit (HTTP 413).
+        def apply_loss(inp, rest, params, batch_stats):
             out, _ = mod.apply(
                 {"params": params, "batch_stats": batch_stats},
-                inp, *xs[1:], emb, train=True, mutable=["batch_stats"],
+                inp, *rest, emb, train=True, mutable=["batch_stats"],
             )
             if isinstance(out, tuple):  # encoder returns (down, skip)
                 return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in out)
             return jnp.sum(out.astype(jnp.float32) ** 2)
 
         @jax.jit
-        def fwd_chain(x0, params, batch_stats):
+        def fwd_chain(x0, rest, params, batch_stats):
             def body(_i, carry):
                 x, _ = carry
-                s = apply_loss(x, params, batch_stats)
+                s = apply_loss(x, rest, params, batch_stats)
                 return (x0 * (1.0 + s * 1e-30), s)
 
             _, s = jax.lax.fori_loop(0, R, body, (x0, jnp.zeros(())))
             return s
 
         @jax.jit
-        def fwdbwd_chain(x0, params, batch_stats):
+        def fwdbwd_chain(x0, rest, params, batch_stats):
             def body(_i, carry):
                 x, _ = carry
-                gx, gp = jax.grad(apply_loss, argnums=(0, 1))(
-                    x, params, batch_stats
+                gx, gp = jax.grad(apply_loss, argnums=(0, 2))(
+                    x, rest, params, batch_stats
                 )
                 s = jnp.sum(gx.reshape(-1)[:1]) + jax.tree.leaves(gp)[0].reshape(-1)[0]
                 return (x0 * (1.0 + s * 1e-30), s)
@@ -145,8 +148,8 @@ def main():
             return s
 
         p, bs = variables["params"], variables.get("batch_stats", {})
-        tf = timed(fwd_chain, xs[0], p, bs)
-        tfb = timed(fwdbwd_chain, xs[0], p, bs)
+        tf = timed(fwd_chain, xs[0], list(xs[1:]), p, bs)
+        tfb = timed(fwdbwd_chain, xs[0], list(xs[1:]), p, bs)
         total_f += tf
         total_fb += tfb
         print(json.dumps({

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--train_impl", type=str, default="auto",
+                    help="auto|expert_sum|merged_pallas|merged")
     ap.add_argument("--decomp", action="store_true",
                     help="also time fwd-only and fwd+bwd to decompose the "
                          "step cost")
@@ -44,7 +46,7 @@ def main():
 
     patch = (32, 128, 128)
     cfg = Config(
-        model=ModelConfig(remat=args.remat),
+        model=ModelConfig(remat=args.remat, train_impl=args.train_impl),
         train=TrainConfig(
             batch_size=args.batch, patch_size=patch,
             compute_dtype="bfloat16",
@@ -78,6 +80,7 @@ def main():
 
     rec = {
         "batch": n, "patch": list(patch), "remat": args.remat,
+        "train_impl": args.train_impl,
         "device": jax.devices()[0].device_kind,
     }
 
