@@ -45,13 +45,22 @@ class ModelConfig:
     num_experts: int = 5         # RepMode.py:22
     depth: int = 4               # 4 encoder + 4 decoder blocks (RepMode.py:27-39)
     kernel_size: int = 5         # MoDE merged kernel size (RepMode.py:42,114-115)
-    # 'expert_sum'  : 5 full-batch convs + gated combine (train default; exact
-    #                 by linearity of conv, MXU-friendly, no grouped conv)
-    # 'merged'      : per-sample merged 5^3 kernel via vmapped conv
-    #                 (the literal translation of RepMode.py:204-208)
+    # 'auto'         : 'merged_pallas' on TPU, 'expert_sum' elsewhere
+    # 'expert_sum'   : 5 full-batch convs + gated combine (exact by linearity
+    #                  of conv, MXU-friendly, no grouped conv; CPU/test path)
+    # 'merged_pallas': per-sample gate-merged kernel via the Pallas
+    #                  per-sample-weight kernels (ops/pallas/conv3d.py) —
+    #                  the reference's routing() merge (RepMode.py:171-208)
+    #                  at 45 s2d taps vs the expert sum's 145 in forward AND
+    #                  both backward contractions; measured train step
+    #                  642 -> 366 ms at full scale (ARCHITECTURE.md §11)
+    # 'merged'       : per-sample merged 5^3 kernel via vmapped conv
+    #                  (the literal translation of RepMode.py:204-208; XLA
+    #                  grouped-conv lowering, measured 2x slower — kept as
+    #                  the record)
     # auto-selected 'single' path when the batch is task-uniform (eval,
     # RepMode.py:210 semantics).
-    train_impl: str = "expert_sum"
+    train_impl: str = "auto"
     # run narrow-channel levels in the space-to-depth domain during training
     # (ops/s2d.py; exact, differentiable). Required to fit full-scale
     # training in 16GB HBM (native C=32 layouts pad 4x) and ~3x faster convs.

@@ -36,6 +36,9 @@ from repmode_tpu.ops.mode import (
     mode_conv_expert_sum,
     mode_conv_expert_sum_s2d_domain,
     mode_conv_merged,
+    mode_conv_merged_s2d_domain,
+    mode_conv_merged_s2d_pallas,
+    mode_conv_tapmajor_merged_s2d,
 )
 from repmode_tpu.ops.norm import batch_norm_apply, batch_norm_train
 from repmode_tpu.ops.s2d import (
@@ -162,19 +165,42 @@ class MoDEConv(nn.Module):
     def __call__(self, x: jax.Array, task_emb: jax.Array, *, train: bool) -> jax.Array:
         g = self.gate(task_emb)
         ek = self.experts()
+        impl = self.train_impl
+        if impl == "auto":
+            # Pallas kernels need the real TPU backend; CPU (tests, the
+            # driver's virtual-mesh dryrun) takes the exact expert sum.
+            impl = (
+                "merged_pallas"
+                if jax.default_backend() == "tpu"
+                else "expert_sum"
+            )
         if self.domain == "s2d":
+            if self.out_chan <= 4:
+                # lane-starved output (4*Co <= 16 of 128 lanes): per-sample
+                # merged tap-major GEMM instead of five padded convs
+                # (conv_out; measured ~3x, tools/bench_bwd.py 2026-08-17)
+                s2d_op = mode_conv_tapmajor_merged_s2d
+            elif impl == "merged":
+                s2d_op = mode_conv_merged_s2d_domain
+            elif impl == "merged_pallas":
+                s2d_op = mode_conv_merged_s2d_pallas
+            else:
+                s2d_op = mode_conv_expert_sum_s2d_domain
             op = functools.partial(
-                mode_conv_expert_sum_s2d_domain,
+                s2d_op,
                 compute_dtype=self.compute_dtype,
                 channel_sizes=self.input_channel_sizes or None,
             )
-        elif self.train_impl == "merged":
+        elif impl == "merged":
             op = functools.partial(
                 mode_conv_merged,
                 kernel_size=self.kernel_size,
                 compute_dtype=self.compute_dtype,
             )
         else:
+            # native domain (deep levels): expert sum — incl. under 'auto'/
+            # 'merged_pallas' (the deep levels are latency-trivial,
+            # ARCHITECTURE.md §11; no native-domain Pallas path needed)
             op = functools.partial(
                 mode_conv_expert_sum, compute_dtype=self.compute_dtype
             )

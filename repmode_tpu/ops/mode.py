@@ -37,6 +37,7 @@ avg3(.)conv1, avg5(.)conv1] (RepMode.py:184-188).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -116,7 +117,8 @@ def mode_conv_expert_sum(
 ) -> jax.Array:
     """Training-path MoDE conv: 5 shared-kernel batch convs + gated combine.
 
-    x: (N,D,H,W,Ci), g: (N,E,Co) -> (N,D,H,W,Co) fp32.
+    x: (N,D,H,W,Ci), g: (N,E,Co) -> (N,D,H,W,Co), fp32 in exact mode /
+    compute_dtype under AMP.
     Exactly equals conv(x_n, merged_kernel_n) by linearity (see module doc).
     The s2d-domain formulation of the same contract lives in
     mode_conv_expert_sum_s2d_domain — the ONLY s2d execution path.
@@ -139,7 +141,11 @@ def mode_conv_expert_sum(
     ya3 = cv(pooled3, ek.wa3)
     ya5 = cv(pooled5, ek.wa5)
 
-    gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
+    # combine dtype policy: fp32 in exact mode, compute_dtype under AMP
+    # (see mode_conv_expert_sum_s2d_domain)
+    gdt = jnp.promote_types(g.dtype, jnp.float32) if compute_dtype is None \
+        else compute_dtype
+    gf = g.astype(gdt)
 
     def gw(e):  # (N,Co) -> (N,1,1,1,Co)
         return gf[:, e][:, None, None, None, :]
@@ -180,23 +186,38 @@ def mode_conv_expert_sum_s2d_domain(
     """Expert-sum MoDE conv executed entirely in the s2d domain.
 
     x2: (N,D,h',w',4*Ci_total) phase-major (possibly a concat of s2d
-    segments, see channel_sizes); g: (N,E,Co) -> (N,D,h',w',4*Co) fp32.
+    segments, see channel_sizes); g: (N,E,Co) -> (N,D,h',w',4*Co), fp32 in
+    exact mode / compute_dtype under AMP.
     All five branches run on lane-filling 4C-channel tensors; narrow-channel
     activations are never materialized (the 4x layout-padding + low MXU
     occupancy of C<128 levels, see ARCHITECTURE.md §3).
 
-    The avg-pool branches are COMPOSED into dense s2d convs,
-    conv1(avg_k(x)) == conv(x, (1/k^3)*broadcast(w1)) — the same composition
-    the reference's routing() merge performs (RepMode.py:176-180). Measured
-    motivation (tools/bench_train_layer.py, 2026-08-17): the explicit
-    s2d-domain box pool costs 36-39 ms at the L1 train shape (its per-phase
-    slicing materializes 32-lane-minor tensors) while the composed dense
-    conv costs ~6 ms; gradients flow to wa3/wa5 through the broadcast.
+    The avg-pool branches run in one of two exact forms, picked by lane
+    geometry (both measured, tools/bench_avgbranch.py 2026-08-17):
+
+      * narrow inputs (4*Ci < 256, the L1 domain): COMPOSED into dense s2d
+        convs, conv1(avg_k(x)) == conv(x, (1/k^3)*broadcast(w1)) — the same
+        composition the reference's routing() merge performs
+        (RepMode.py:176-180). The explicit box pool loses 2x fwd / 3x bwd
+        here: its phase passes add 32/64-lane slices, VPU-hostile, while
+        the MXU runs the 45-tap dense kernel at ~80% MFU.
+      * wide inputs (4*Ci >= 256, L2 and the decoder concats): explicit
+        separable box pool (ops/s2d.box_pool_s2d — full-vreg lane slices)
+        + pointwise conv. Measured 5.2/1.6 ms vs the dense form's 7.8/4.2
+        (fwd/bwd, L2 a5 branch) — and its VJP is shifted adds + a pointwise
+        dW instead of a full 45/27-tap dW + dx conv pair.
+
+    Gradients flow to wa3/wa5 through the broadcast (dense form) or the
+    pointwise kernel (box form); both verified against torch fp64 goldens.
     (Grouping same-tap-shape experts into double-width convs was tried and
     measured a wash — 713.9 vs 712.5 ms/step — so the five separate convs
     stay for simplicity.)
     """
-    from repmode_tpu.ops.s2d import s2d_conv1_kernel, s2d_conv_kernel
+    from repmode_tpu.ops.s2d import (
+        box_pool_s2d,
+        s2d_conv1_kernel,
+        s2d_conv_kernel,
+    )
 
     cs = tuple(channel_sizes) if channel_sizes else (ek.w5.shape[3],)
     ones3 = jnp.full((3, 3, 3, 1, 1), 1.0 / 27.0, ek.wa3.dtype)
@@ -204,12 +225,6 @@ def mode_conv_expert_sum_s2d_domain(
     k5 = _split_s2d_kernel(s2d_conv_kernel, ek.w5, cs)
     k3 = _split_s2d_kernel(s2d_conv_kernel, ek.w3, cs)
     k1 = _split_s2d_kernel(s2d_conv1_kernel, ek.w1, cs)
-    ka3 = _split_s2d_kernel(
-        lambda w: s2d_conv_kernel(ones3 * w), ek.wa3, cs
-    )
-    ka5 = _split_s2d_kernel(
-        lambda w: s2d_conv_kernel(ones5 * w), ek.wa5, cs
-    )
 
     def cv(inp, w):
         return conv3d_same(
@@ -220,10 +235,48 @@ def mode_conv_expert_sum_s2d_domain(
     y5 = cv(x2, k5)
     y3 = cv(x2, k3)
     yc1 = cv(x2, k1)
-    ya3 = cv(x2, ka3)
-    ya5 = cv(x2, ka5)
 
-    gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
+    if min(cs) * 4 >= 256:  # per-SEGMENT lane width decides (box slices
+        #                     quarter-segments; 32-ch segments are VPU-hostile)
+        # box + pointwise (1/k^3 folded into the kernel: no extra pass)
+        kp3 = _split_s2d_kernel(
+            lambda w: s2d_conv1_kernel(w * (1.0 / 27.0)), ek.wa3, cs
+        )
+        kp5 = _split_s2d_kernel(
+            lambda w: s2d_conv1_kernel(w * (1.0 / 125.0)), ek.wa5, cs
+        )
+        x2c = x2 if compute_dtype is None else x2.astype(compute_dtype)
+
+        def box(inp, k):
+            # phase-major layout is PER s2d segment: box each segment
+            if len(cs) == 1:
+                return box_pool_s2d(inp, k)
+            parts, off = [], 0
+            for c in cs:
+                parts.append(box_pool_s2d(inp[..., off : off + 4 * c], k))
+                off += 4 * c
+            return jnp.concatenate(parts, axis=-1)
+
+        ya3 = cv(box(x2c, 3), kp3)
+        ya5 = cv(box(x2c, 5), kp5)
+    else:
+        ka3 = _split_s2d_kernel(
+            lambda w: s2d_conv_kernel(ones3 * w), ek.wa3, cs
+        )
+        ka5 = _split_s2d_kernel(
+            lambda w: s2d_conv_kernel(ones5 * w), ek.wa5, cs
+        )
+        ya3 = cv(x2, ka3)
+        ya5 = cv(x2, ka5)
+
+    # Exact mode: fp32 combine. AMP mode: combine in compute_dtype — the
+    # reference's AMP merge/conv also run half precision (routing() einsums
+    # under autocast), and materializing the fp32 combine cost ~26 ms/step
+    # at full scale (profile 2026-08-17); BN computes its stats in fp32
+    # from the bf16 tensor, exactly like torch autocast's fp32 BN.
+    gdt = jnp.promote_types(g.dtype, jnp.float32) if compute_dtype is None \
+        else compute_dtype
+    gf = g.astype(gdt)
 
     def gw(e):  # (N,Co) -> (N,1,1,1,4Co): same gate for every output phase
         return jnp.tile(gf[:, e], (1, 4))[:, None, None, None, :]
@@ -235,6 +288,343 @@ def mode_conv_expert_sum_s2d_domain(
         + gw(3) * ya3
         + gw(4) * ya5
     )
+
+
+def s2d_expert_bank(ek: ExpertKernels, channel_sizes=None) -> jax.Array:
+    """Stack the 5 experts as s2d-domain kernels: (E, kD, 3, 3, 4Ci, 4Co).
+
+    Every expert is transformed to the s2d domain (avg-pool branches composed
+    dense, exactly as mode_conv_expert_sum_s2d_domain builds them) and
+    spatially zero-padded to the k5 tap grid (kD=5, 3x3 H/W) so the bank can
+    be gate-merged into ONE per-sample kernel — the reference's own routing()
+    merge (RepMode.py:171-192), executed in the s2d domain.
+    """
+    from repmode_tpu.ops.s2d import s2d_conv1_kernel, s2d_conv_kernel
+
+    cs = tuple(channel_sizes) if channel_sizes else (ek.w5.shape[3],)
+    ones3 = jnp.full((3, 3, 3, 1, 1), 1.0 / 27.0, ek.wa3.dtype)
+    ones5 = jnp.full((5, 5, 5, 1, 1), 1.0 / 125.0, ek.wa5.dtype)
+
+    def padD(k, kd=5):  # pad depth taps (centered) and H/W taps to 3
+        pd = (kd - k.shape[0]) // 2
+        ph = (3 - k.shape[1]) // 2
+        pw = (3 - k.shape[2]) // 2
+        return jnp.pad(
+            k, ((pd, pd), (ph, ph), (pw, pw), (0, 0), (0, 0))
+        )
+
+    k5 = _split_s2d_kernel(s2d_conv_kernel, ek.w5, cs)
+    k3 = padD(_split_s2d_kernel(s2d_conv_kernel, ek.w3, cs))
+    k1 = padD(_split_s2d_kernel(s2d_conv1_kernel, ek.w1, cs))
+    ka3 = padD(_split_s2d_kernel(lambda w: s2d_conv_kernel(ones3 * w), ek.wa3, cs))
+    ka5 = _split_s2d_kernel(lambda w: s2d_conv_kernel(ones5 * w), ek.wa5, cs)
+    return jnp.stack([k5, k3, k1, ka3, ka5], axis=0)
+
+
+def mode_conv_merged_s2d_domain(
+    x2: jax.Array,
+    ek: ExpertKernels,
+    g: jax.Array,
+    *,
+    compute_dtype=None,
+    channel_sizes=None,
+) -> jax.Array:
+    """Per-sample merged-kernel MoDE conv in the s2d domain.
+
+    x2: (N,D,h',w',4*Ci_total), g: (N,E,Co) -> (N,D,h',w',4*Co) fp32.
+
+    The expert-sum formulation runs 145 s2d taps per layer (45+27+1+27+45);
+    merging the gate-weighted bank into ONE per-sample 45-tap kernel — the
+    reference's routing() merge, RepMode.py:183-190 — cuts conv FLOPs 3.2x
+    in forward AND in both backward convs (dx, per-sample dW). The vmapped
+    conv lowers to an XLA batch-grouped conv; tools/bench_merged.py measures
+    it against the expert sum at the real train shapes. Gradients to the
+    gate and expert kernels flow through the merge einsum's VJP (per-sample
+    dW contracted against bank / gate) — same math as expert-sum by
+    linearity, verified in tests/test_s2d.py.
+    """
+    bank = s2d_expert_bank(ek, channel_sizes)  # (E,5,3,3,4Ci,4Co)
+    if compute_dtype is not None:
+        bank = bank.astype(compute_dtype)
+        x2 = x2.astype(compute_dtype)
+    # phase-major output channels: gate value repeats across the 4 phases
+    gf = g.astype(bank.dtype)
+    g4 = jnp.tile(gf, (1, 1, 4))  # (N,E,4Co)
+    w2 = jnp.einsum("neo,edhwio->ndhwio", g4, bank)
+
+    def one(xi, wi):
+        return conv3d_same(
+            xi[None], wi, compute_dtype=None,
+            accum_dtype=jnp.float32 if compute_dtype is None else None,
+        )[0]
+
+    y = jax.vmap(one)(x2, w2)
+    return y.astype(jnp.promote_types(y.dtype, jnp.float32))
+
+
+def _ps_conv_chunked(x2, wn, interpret, limit=8 * 1024 * 1024):
+    """Per-sample conv, chunked over Co so every weight block fits the
+    TPU's ~16 MB scoped-VMEM window (Mosaic rejects bigger kernel-resident
+    blocks — measured at dec2 conv1, 45x512x256 bf16 = 11.8 MB + slabs)."""
+    from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_same_persample
+
+    n, kd, kh, kw, ci, co = wn.shape
+    chunk = co
+    while kd * kh * kw * ci * chunk * 2 > limit and chunk % 2 == 0 and chunk > 128:
+        chunk //= 2
+
+    def one(ws):
+        return pallas_conv3d_same_persample(
+            x2, ws, compute_dtype=x2.dtype, out_dtype=x2.dtype,
+            interpret=interpret,
+        )
+
+    if chunk == co:
+        return one(wn)
+    return jnp.concatenate(
+        [one(wn[..., i : i + chunk]) for i in range(0, co, chunk)], axis=-1
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def merged_conv_persample(x2: jax.Array, wn: jax.Array, interpret: bool = False):
+    """Per-sample-kernel 'same' conv with a hand-written backward.
+
+    x2: (N,D,h,w,Ci), wn: (N,kD,kH,kW,Ci,Co). Forward and both backward
+    contractions run as Pallas kernels with per-sample weights
+    (ops/pallas/conv3d.py) — dx is the same conv with the spatially
+    flipped, io-transposed kernels; dW is the per-sample tap correlation.
+    All three stages run at merged-kernel FLOPs (45 s2d taps), 3.2x less
+    than the expert-sum's 145 — the cut XLA's grouped conv could not
+    deliver (ARCHITECTURE.md §11).
+    """
+    return _ps_conv_chunked(x2, wn, interpret)
+
+
+def _merged_conv_ps_fwd(x2, wn, interpret):
+    return merged_conv_persample(x2, wn, interpret), (x2, wn)
+
+
+def _merged_conv_ps_bwd(interpret, res, dy):
+    from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_dw_persample
+
+    x2, wn = res
+    wt = jnp.flip(wn, axis=(1, 2, 3)).swapaxes(-1, -2)
+    dyc = dy.astype(x2.dtype)
+    dx = _ps_conv_chunked(dyc, wt, interpret)
+    kd, kh, kw = wn.shape[1:4]
+    ci, co = wn.shape[4], wn.shape[5]
+    # chunk the fp32 dW accumulator under the ~16 MB scoped-VMEM window
+    # (Mosaic double-buffers the output window, so budget ~6 MB). Chunk
+    # over CI — slicing x shrinks the accumulator AND the input slab;
+    # chunking the LAST (lane) dim below 128 would not shrink anything.
+    chunk = ci
+    while kd * kh * kw * chunk * co * 4 > 6 * 1024 * 1024 \
+            and chunk % 2 == 0 and chunk > 128:
+        chunk //= 2
+    if chunk == ci:
+        dwn = pallas_conv3d_dw_persample(
+            x2, dyc, kd, kh, kw, compute_dtype=x2.dtype, interpret=interpret
+        )
+    else:
+        dwn = jnp.concatenate(
+            [
+                pallas_conv3d_dw_persample(
+                    x2[..., i : i + chunk], dyc, kd, kh, kw,
+                    compute_dtype=x2.dtype, interpret=interpret,
+                )
+                for i in range(0, ci, chunk)
+            ],
+            axis=4,
+        )
+    return dx, dwn.astype(wn.dtype)
+
+
+merged_conv_persample.defvjp(_merged_conv_ps_fwd, _merged_conv_ps_bwd)
+
+
+def mode_conv_merged_s2d_pallas(
+    x2: jax.Array,
+    ek: ExpertKernels,
+    g: jax.Array,
+    *,
+    compute_dtype=None,
+    channel_sizes=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-sample merged-kernel MoDE conv via the Pallas kernels.
+
+    Same contract as mode_conv_expert_sum_s2d_domain. The gate merge is a
+    plain einsum (differentiable: the Pallas backward returns per-sample
+    dW, and AD contracts it against the bank / gate automatically) — the
+    reference's routing() merge (RepMode.py:171-192) executed at
+    merged-kernel FLOPs on the MXU.
+
+    Geometry guard: Mosaic DMA slices the channel (lane) dim, which must be
+    128-aligned — narrow convs (enc1 conv1's 4-channel s2d input; the co=4
+    conv_out) fall back to the expert sum / tap-major paths.
+    """
+    co4 = 4 * g.shape[2]
+    if x2.shape[-1] % 128 or co4 % 128:
+        return mode_conv_expert_sum_s2d_domain(
+            x2, ek, g, compute_dtype=compute_dtype,
+            channel_sizes=channel_sizes,
+        )
+    bank = s2d_expert_bank(ek, channel_sizes)  # (E,5,3,3,4Ci,4Co)
+    gdt = jnp.promote_types(g.dtype, jnp.float32)
+    g4 = jnp.tile(g.astype(gdt), (1, 1, 4))  # (N,E,4Co) phase-major
+    wn = jnp.einsum("neo,edhwio->ndhwio", g4, bank.astype(gdt))
+    if compute_dtype is not None:
+        x2 = x2.astype(compute_dtype)
+        wn = wn.astype(compute_dtype)
+    else:
+        x2 = x2.astype(jnp.promote_types(x2.dtype, jnp.float32))
+        wn = wn.astype(x2.dtype)
+    return merged_conv_persample(x2, wn, interpret)
+
+
+def mode_conv_tapmajor_merged_s2d(
+    x2: jax.Array,
+    ek: ExpertKernels,
+    g: jax.Array,
+    *,
+    compute_dtype=None,
+    channel_sizes=None,
+) -> jax.Array:
+    """MoDE conv for SMALL output channels in the s2d domain: per-sample
+    gate-merged kernel + tap-major factorization. AD-safe (pure einsums and
+    shifted-slice adds), so the TRAIN path can use it, unlike the fp32-only
+    eval helper conv3d_same_tapmajor.
+
+    x2: (N,D,h',w',4*Ci_total), g: (N,E,Co) -> (N,D,h',w',4*Co) fp32.
+
+    conv_out (native co=1 -> 4 s2d output lanes of 128) is the worst MXU
+    shape in the net: the expert sum runs FIVE convs each padding 4 lanes
+    to 128 (train-mode block measured ~30 ms/batch-8 net of the fetch tax,
+    tools/bench_bwd.py 2026-08-17). Merging the gate-weighted bank into one
+    per-sample kernel (the reference's routing(), RepMode.py:171-192; tiny
+    here: taps x 4Ci x 4Co per sample) and factorizing tap-major gives ONE
+    batched MXU GEMM with taps*4Co (=180) output lanes plus taps shifted
+    adds — the same lowering that took the re-parameterized eval conv_out
+    15.7 -> 14.2 ms/batch-16 (ARCHITECTURE.md §10), now with per-sample
+    kernels and gradients.
+    """
+    bank = s2d_expert_bank(ek, channel_sizes)  # (E,KD,KH,KW,4Ci,4Co)
+    e, kd, kh, kw, ci4, co4 = bank.shape
+    t = kd * kh * kw
+    n, d, h, wl, _ = x2.shape
+
+    gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
+    g4 = jnp.tile(gf, (1, 1, 4))  # (N,E,4Co), phase-major
+    wt = jnp.einsum("neo,edhwio->ndhwio", g4, bank.astype(g4.dtype))
+    wt = wt.reshape(n, t, ci4, co4).transpose(0, 2, 1, 3).reshape(n, ci4, t * co4)
+    if compute_dtype is not None:
+        x2 = x2.astype(compute_dtype)
+        wt = wt.astype(compute_dtype)
+    z = jnp.einsum(
+        "ndhwc,nck->ndhwk", x2, wt,
+        preferred_element_type=jnp.promote_types(x2.dtype, jnp.float32)
+        if compute_dtype is None else None,
+    )
+    pd_, ph_, pw_ = (kd - 1) // 2, (kh - 1) // 2, (kw - 1) // 2
+    zp = jnp.pad(z, ((0, 0), (pd_, pd_), (ph_, ph_), (pw_, pw_), (0, 0)))
+    y = jnp.zeros((n, d, h, wl, co4), jnp.float32)
+    ti = 0
+    for dz in range(kd):
+        for dy in range(kh):
+            for dx in range(kw):
+                y = y + zp[
+                    :, dz : dz + d, dy : dy + h, dx : dx + wl,
+                    ti * co4 : (ti + 1) * co4,
+                ].astype(jnp.float32)
+                ti += 1
+    return y
+
+
+def im2col_patches(x: jax.Array, k: int) -> jax.Array:
+    """'same'-padded im2col: (N,D,H,W,C) -> (N, D*H*W, k^3*C), tap-major.
+
+    Tap order (dz,dy,dx) row-major with channels minor — matching
+    w.reshape(k^3*Ci, Co) of a DHWIO kernel, so conv3d_same(x, w) ==
+    (im2col_patches(x,k) @ w.reshape(-1,Co)).reshape(x.shape[:4]+(Co,)).
+
+    Motivation (measured, tools/bench_deep.py): at the deep U-Net levels
+    (<= a few thousand positions/sample) XLA lowers a 5^3 conv as 125
+    sequential tap-matmuls whose M dim never fills the MXU pipeline —
+    bottle-level convs ran at ~3% MFU. One (positions, 125*Ci) GEMM is the
+    MXU-shaped form; the patch tensor is small at these levels (<= ~260 MB
+    bf16) and its build is pure bandwidth.
+    """
+    n, d, h, w, c = x.shape
+    p = (k - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (p, p), (0, 0)))
+    parts = []
+    for dz in range(k):
+        for dy in range(k):
+            for dx in range(k):
+                parts.append(xp[:, dz : dz + d, dy : dy + h, dx : dx + w, :])
+    pt = jnp.concatenate(parts, axis=-1)
+    return pt.reshape(n, d * h * w, k * k * k * c)
+
+
+def mode_conv_im2col_bank(
+    x: jax.Array,
+    ek: ExpertKernels,
+    g: jax.Array,
+    *,
+    kernel_size: int = 5,
+    compute_dtype=None,
+) -> jax.Array:
+    """Expert-sum MoDE conv as ONE im2col GEMM against the stacked bank.
+
+    x: (N,D,H,W,Ci), g: (N,E,Co) -> (N,D,H,W,Co) fp32. Exactly the expert
+    sum (same math as mode_conv_expert_sum; the avg branches composed dense
+    as in expert_bank): Y = P @ [K_1 .. K_E] -> (positions, E*Co), then the
+    fp32 gated combine contracts E. Shared weights keep the dW backward a
+    single GEMM (P^T @ dY) — no per-sample kernels materialized.
+    """
+    n, d, h, w, ci = x.shape
+    e, co = g.shape[1], g.shape[2]
+    k = kernel_size
+    bank = expert_bank(ek, k)  # (E,k,k,k,Ci,Co)
+    wall = bank.transpose(1, 2, 3, 4, 0, 5).reshape(k * k * k * ci, e * co)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        wall = wall.astype(compute_dtype)
+    pt = im2col_patches(x, k)  # (N, P, k^3*Ci)
+    y = (pt @ wall).reshape(n, d * h * w, e, co)
+    gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
+    out = jnp.einsum("npeo,neo->npo", y.astype(gf.dtype), gf)
+    return out.reshape(n, d, h, w, co)
+
+
+def mode_conv_im2col_merged(
+    x: jax.Array,
+    ek: ExpertKernels,
+    g: jax.Array,
+    *,
+    kernel_size: int = 5,
+    compute_dtype=None,
+) -> jax.Array:
+    """Per-sample merged-kernel MoDE conv as an im2col batched GEMM.
+
+    x: (N,D,H,W,Ci), g: (N,E,Co) -> (N,D,H,W,Co) fp32. The reference's
+    routing() merge (RepMode.py:171-192) followed by its per-sample conv
+    loop (RepMode.py:204-208), executed as einsum('npk,nko->npo') — a
+    batched MXU GEMM, 1/E the FLOPs of the bank form, at the cost of
+    materializing the (N, k^3*Ci, Co) merged kernels.
+    """
+    n, d, h, w, ci = x.shape
+    co = g.shape[2]
+    k = kernel_size
+    wn = merge_kernels(ek, g, k).reshape(n, k * k * k * ci, co)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        wn = wn.astype(compute_dtype)
+    pt = im2col_patches(x, k)  # (N, P, k^3*Ci)
+    y = jnp.einsum("npk,nko->npo", pt, wn)
+    y = y.astype(jnp.promote_types(y.dtype, jnp.float32))
+    return y.reshape(n, d, h, w, co)
 
 
 def mode_conv_merged(

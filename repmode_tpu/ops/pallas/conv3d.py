@@ -326,6 +326,281 @@ def pallas_conv3d_dpad(
     )(xc, wc, b)
 
 
+def _conv_kernel_ps(x_hbm, w_ref, out_ref, x_vmem, sems, *, kd, kh, kw, th,
+                    w_len, ci, co, compute_dtype, out_dtype):
+    """Per-SAMPLE-weight variant of _conv_kernel: w_ref block is sample n's
+    kernel (the gate-merged MoDE kernel). Same double-buffered halo slab."""
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+    h = pl.program_id(2)
+    nd = pl.num_programs(1)
+    nh = pl.num_programs(2)
+    step = (n * nd + d) * nh + h
+    total = pl.num_programs(0) * nd * nh
+    slot = jax.lax.rem(step, 2)
+    nxt_slot = jax.lax.rem(step + 1, 2)
+
+    def dma_for(nn, dd, hh, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[nn, pl.ds(dd, kd), pl.ds(hh * th, th + kh - 1)],
+            x_vmem.at[s],
+            sems.at[s],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma_for(n, d, h, slot).start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        nstep = step + 1
+        nh_i = jax.lax.rem(nstep, nh)
+        nd_i = jax.lax.rem(nstep // nh, nd)
+        nn_i = nstep // (nh * nd)
+        dma_for(nn_i, nd_i, nh_i, nxt_slot).start()
+
+    dma_for(n, d, h, slot).wait()
+
+    acc = jnp.zeros((th * w_len, co), jnp.float32)
+    for dz in range(kd):
+        for dy in range(kh):
+            for dx in range(kw):
+                a = x_vmem[slot, dz, dy : dy + th, dx : dx + w_len, :]
+                a = a.reshape(th * w_len, ci).astype(compute_dtype)
+                wk = w_ref[0, dz, dy, dx].astype(compute_dtype)
+                acc = acc + jnp.dot(a, wk, preferred_element_type=jnp.float32)
+    out_ref[0, 0] = acc.reshape(th, w_len, co).astype(out_dtype)
+
+
+def pallas_conv3d_same_persample(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    h_tile: int = 0,
+    compute_dtype=jnp.bfloat16,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """'same' conv with a DIFFERENT kernel per sample.
+
+    x: (N,D,H,W,Ci), w: (N,kD,kH,kW,Ci,Co) -> (N,D,H,W,Co). This is the
+    execution XLA lacks: its batch-grouped conv lowering measured ~2x
+    SLOWER than the 5-conv expert sum (tools/bench_merged.py 2026-08-17),
+    while here the weight block is simply indexed by the grid's n — sample
+    n's gate-merged kernel stays VMEM-resident across its (d, h) steps.
+    This makes the reference's per-sample routing() merge (RepMode.py:
+    171-208) executable at merged-kernel FLOPs (45 s2d taps vs the expert
+    sum's 145) on the MXU.
+    """
+    n, d, h, wl, ci = x.shape
+    wn, kd, kh, kw, wci, co = w.shape
+    assert wn == n and wci == ci, (w.shape, x.shape)
+    assert kh % 2 == 1 and kw % 2 == 1
+    pad_d = (kd - 1) // 2
+    pad_h = (kh - 1) // 2
+    pad_w = (kw - 1) // 2
+    wpad = -(-(wl + kw - 1) // 8) * 8
+    if h_tile <= 0:
+        # per-sample weights are a revisited window — assume Mosaic
+        # double-buffers it (as measured for the dW accumulator)
+        budget = 16 * 1024 * 1024 - 2 * kd * kh * kw * ci * co * 2 \
+            - 2 * 1024 * 1024
+        h_tile = 1
+        for cand in range(h, 0, -1):
+            if h % cand:
+                continue
+            footprint = (
+                2 * kd * (cand + kh - 1) * wpad * ci * 2
+                + 2 * cand * wl * co * 4
+            )
+            if footprint <= budget:
+                h_tile = cand
+                break
+    assert h % h_tile == 0, (h, h_tile)
+
+    xp = jnp.pad(
+        x.astype(compute_dtype),
+        ((0, 0), (pad_d, pad_d), (pad_h, pad_h),
+         (pad_w, wpad - wl - pad_w), (0, 0)),
+    )
+    wc = w.astype(compute_dtype)
+
+    grid = (n, d, h // h_tile)
+    kernel = functools.partial(
+        _conv_kernel_ps, kd=kd, kh=kh, kw=kw, th=h_tile, w_len=wl, ci=ci,
+        co=co, compute_dtype=compute_dtype, out_dtype=out_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, kd, kh, kw, ci, co),
+                lambda n_, d_, h_: (n_, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h_tile, wl, co), lambda n_, d_, h_: (n_, d_, h_, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, d, h, wl, co), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, kd, h_tile + kh - 1, wpad, ci), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * d * h * wl * kd * kh * kw * ci * co,
+            bytes_accessed=x.size * 2 + w.size * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, wc)
+
+
+def _dw_kernel_ps(x_hbm, g_ref, out_ref, x_vmem, sems, *, kd, kh, kw, th,
+                  w_len, ci, co, nh, compute_dtype):
+    """Per-sample weight-gradient: out[n,t] = sum_p x[n, p+t-ctr] (x) dy[n, p].
+
+    Grid (n, d, h): the output block depends only on n, so Mosaic keeps the
+    fp32 accumulator VMEM-resident across a sample's (d, h) steps; each
+    step contracts the halo slab's tap views against the dy tile on the
+    MXU (contraction dim = tile positions)."""
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+    h = pl.program_id(2)
+    nd = pl.num_programs(1)
+    step = (n * nd + d) * nh + h
+    total = pl.num_programs(0) * nd * nh
+    slot = jax.lax.rem(step, 2)
+    nxt_slot = jax.lax.rem(step + 1, 2)
+
+    def dma_for(nn, dd, hh, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[nn, pl.ds(dd, kd), pl.ds(hh * th, th + kh - 1)],
+            x_vmem.at[s],
+            sems.at[s],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma_for(n, d, h, slot).start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        nstep = step + 1
+        nh_i = jax.lax.rem(nstep, nh)
+        nd_i = jax.lax.rem(nstep // nh, nd)
+        nn_i = nstep // (nh * nd)
+        dma_for(nn_i, nd_i, nh_i, nxt_slot).start()
+
+    @pl.when(jnp.logical_and(d == 0, h == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    dma_for(n, d, h, slot).wait()
+
+    gt = g_ref[0, 0].reshape(th * w_len, co).astype(compute_dtype)
+    for dz in range(kd):
+        for dy in range(kh):
+            for dx in range(kw):
+                a = x_vmem[slot, dz, dy : dy + th, dx : dx + w_len, :]
+                a = a.reshape(th * w_len, ci).astype(compute_dtype)
+                part = jax.lax.dot_general(
+                    a, gt, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                out_ref[0, dz, dy, dx] += part
+
+
+def pallas_conv3d_dw_persample(
+    x: jax.Array,
+    dy: jax.Array,
+    kd: int,
+    kh: int,
+    kw: int,
+    *,
+    h_tile: int = 0,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-sample 'same'-conv weight gradient.
+
+    x: (N,D,H,W,Ci), dy: (N,D,H,W,Co) -> (N,kD,kH,kW,Ci,Co) fp32:
+    dW[n,t,i,o] = sum_p x[n, p+t-ctr, i] * dy[n, p, o]. This is the
+    sufficient statistic of the merged MoDE conv's backward: the expert
+    bank gradient is sum_n g[n,e,:] (x) dW[n] and the gate gradient is
+    <bank[e], dW[n]> — so ONE 45-tap contraction replaces the expert sum's
+    five full dW convolutions (145 taps total).
+    """
+    n, d, h, wl, ci = x.shape
+    co = dy.shape[-1]
+    assert dy.shape[:4] == x.shape[:4], (x.shape, dy.shape)
+    pad_d = (kd - 1) // 2
+    pad_h = (kh - 1) // 2
+    pad_w = (kw - 1) // 2
+    wpad = -(-(wl + kw - 1) // 8) * 8
+    if h_tile <= 0:
+        # the fp32 accumulator window is double-buffered by Mosaic (2x
+        # kd*kh*kw*ci*co*4 on the scoped-vmem stack, measured: 16.23M at
+        # ci=128,co=256 with big slabs) — keep slabs+dy small
+        budget = 16 * 1024 * 1024 - 2 * kd * kh * kw * ci * co * 4 \
+            - 2 * 1024 * 1024
+        h_tile = 1
+        for cand in range(h, 0, -1):
+            if h % cand:
+                continue
+            footprint = (
+                2 * kd * (cand + kh - 1) * wpad * ci * 2
+                + 2 * cand * wl * co * 2
+            )
+            if footprint <= budget:
+                h_tile = cand
+                break
+    assert h % h_tile == 0, (h, h_tile)
+
+    xp = jnp.pad(
+        x.astype(compute_dtype),
+        ((0, 0), (pad_d, pad_d), (pad_h, pad_h),
+         (pad_w, wpad - wl - pad_w), (0, 0)),
+    )
+    gc = dy.astype(compute_dtype)
+
+    grid = (n, d, h // h_tile)
+    kernel = functools.partial(
+        _dw_kernel_ps, kd=kd, kh=kh, kw=kw, th=h_tile, w_len=wl, ci=ci,
+        co=co, nh=h // h_tile, compute_dtype=compute_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 1, h_tile, wl, co), lambda n_, d_, h_: (n_, d_, h_, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, kd, kh, kw, ci, co),
+            lambda n_, d_, h_: (n_, 0, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, kd, kh, kw, ci, co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, kd, h_tile + kh - 1, wpad, ci), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * d * h * wl * kd * kh * kw * ci * co,
+            bytes_accessed=x.size * 2 + dy.size * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, gc)
+
+
 def pallas_conv3d_same(
     x: jax.Array,
     w: jax.Array,

@@ -95,6 +95,82 @@ def s2d_bias(b: jax.Array) -> jax.Array:
     return jnp.concatenate([b, b, b, b])
 
 
+def _box1d_pair(x0: jax.Array, x1: jax.Array, k: int, axis: int):
+    """Separable k-tap box sum along a NATIVE axis split into 2 phases.
+
+    x0/x1 hold the even/odd native positions (nat[2m] = x0[m],
+    nat[2m+1] = x1[m]). Returns (y0, y1) with y_q[m] = sum_{d=-r..r}
+    nat[2m+q+d], zero-padded — 3 shifted adds per phase instead of a k-tap
+    dense conv. k in {3, 5}.
+    """
+
+    def sh(t, d):  # t shifted by d native PAIR positions with zero pad
+        if d == 0:
+            return t
+        pad = [(0, 0)] * t.ndim
+        n = t.shape[axis]
+        if d > 0:  # t[m-d]
+            pad[axis] = (d, 0)
+            sl = [slice(None)] * t.ndim
+            sl[axis] = slice(0, n)
+        else:  # t[m+|d|]
+            pad[axis] = (0, -d)
+            sl = [slice(None)] * t.ndim
+            sl[axis] = slice(-d, n - d)
+        return jnp.pad(t, pad)[tuple(sl)]
+
+    a = x0 + x1  # A[m] = nat[2m] + nat[2m+1]
+    if k == 5:
+        y0 = sh(a, 1) + a + sh(x0, -1)          # nat[2m-2 .. 2m+2]
+        y1 = sh(x1, 1) + a + sh(a, -1)          # nat[2m-1 .. 2m+3]
+    elif k == 3:
+        y0 = sh(x1, 1) + x0 + x1                # nat[2m-1 .. 2m+1]
+        y1 = x0 + x1 + sh(x0, -1)               # nat[2m .. 2m+2]
+    else:
+        raise ValueError(f"box pair supports k in {{3,5}}, got {k}")
+    return y0, y1
+
+
+def box_pool_s2d(x2: jax.Array, k: int) -> jax.Array:
+    """k^3 box SUM (multiply by 1/k^3 for the avg pool) on an s2d-domain
+    tensor, 'same' zero padding, count_include_pad semantics.
+
+    x2: (N,D,h',w',4C) phase-major -> same shape. Depth is untransformed
+    (k shifted adds); the H and W passes mix the 2 phases via _box1d_pair —
+    the phase blocks are contiguous lane slices, so every op is a
+    pad/slice/add, no gather and no d2s/s2d rearrangement.
+
+    MEASURED NEGATIVE RESULT (tools/bench_avgbranch.py, 2026-08-17): as the
+    avg-expert-branch forward (box + pointwise conv) this loses ~2x fwd /
+    ~3x bwd to the composed-dense conv at the L1 train shape — the
+    half/quarter-lane slice adds of the phase passes are VPU-hostile, while
+    the MXU eats the 45-tap dense kernel at ~80% MFU. Kept (exact, tested)
+    as the measurement record and for host-side uses; production keeps the
+    composed-dense branches (ARCHITECTURE.md §11).
+    """
+    n, d, hh, ww, c4 = x2.shape
+    c = c4 // 4
+    r = (k - 1) // 2
+
+    # D: untransformed axis
+    xp = jnp.pad(x2, ((0, 0), (r, r), (0, 0), (0, 0), (0, 0)))
+    y = xp[:, 0:d]
+    for i in range(1, k):
+        y = y + xp[:, i : i + d]
+
+    # H: native phase py = lane blocks [0:2C], [2C:4C]
+    h0, h1 = _box1d_pair(y[..., : 2 * c], y[..., 2 * c :], k, axis=2)
+    y = jnp.concatenate([h0, h1], axis=-1)
+
+    # W: native phase px = lane blocks [0:C],[C:2C] within each py block
+    parts = []
+    for py in range(2):
+        b = y[..., py * 2 * c : (py + 1) * 2 * c]
+        w0, w1 = _box1d_pair(b[..., :c], b[..., c:], k, axis=3)
+        parts.extend([w0, w1])
+    return jnp.concatenate(parts, axis=-1)
+
+
 def conv3d_same_s2d_domain(x2: jax.Array, w2: jax.Array, *, compute_dtype=None) -> jax.Array:
     """'same' conv on s2d-domain tensors (the kernel already transformed)."""
     return conv3d_same(x2, w2, compute_dtype=compute_dtype)

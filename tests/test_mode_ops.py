@@ -22,8 +22,11 @@ from repmode_tpu.ops.mode import (
     ExpertKernels,
     expert_bank,
     gate_logits_to_weights,
+    im2col_patches,
     merge_kernels,
     mode_conv_expert_sum,
+    mode_conv_im2col_bank,
+    mode_conv_im2col_merged,
     mode_conv_merged,
     mode_conv_single,
 )
@@ -57,6 +60,48 @@ class TestMergeIdentity:
         y_sum = mode_conv_expert_sum(x, ek, g)
         y_merged = mode_conv_merged(x, ek, g)
         np.testing.assert_allclose(y_sum, y_merged, rtol=2e-4, atol=2e-5)
+
+    def test_im2col_patches_reproduce_conv(self, rng):
+        """conv3d_same(x, w) == im2col_patches(x, k) @ w.reshape(-1, Co) —
+        the tap/channel flattening orders agree by construction."""
+        n, ci, co, k = 2, 3, 4, 5
+        x = jnp.asarray(rng.standard_normal((n, 4, 6, 6, ci)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((k, k, k, ci, co)).astype(np.float32) * 0.1
+        )
+        ref = conv3d_same(x, w)
+        got = (im2col_patches(x, k) @ w.reshape(-1, co)).reshape(ref.shape)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize(
+        "impl", [mode_conv_im2col_bank, mode_conv_im2col_merged]
+    )
+    def test_im2col_paths_equal_expert_sum(self, rng, impl):
+        """The deep-level im2col GEMM lowerings (bank and per-sample merged)
+        equal the expert sum — forward and gradients w.r.t. input, every
+        expert kernel, and the gate."""
+        n, ci, co = 2, 4, 6
+        x = jnp.asarray(rng.standard_normal((n, 4, 6, 6, ci)).astype(np.float32))
+        ek = make_experts(rng, ci, co)
+        g = make_gate(rng, n, 5, co)
+
+        y0 = mode_conv_expert_sum(x, ek, g)
+        y1 = impl(x, ek, g)
+        np.testing.assert_allclose(y1, y0, rtol=1e-5, atol=1e-6)
+
+        def grads(f):
+            def loss(xx, eek, gg):
+                return jnp.sum(f(xx, eek, gg) ** 2)
+
+            return jax.grad(loss, argnums=(0, 1, 2))(x, ek, g)
+
+        for p, q in zip(
+            jax.tree.leaves(grads(mode_conv_expert_sum)),
+            jax.tree.leaves(grads(impl)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(q), np.asarray(p), rtol=1e-4, atol=1e-5
+            )
 
     def test_merged_equals_single_when_uniform(self, rng):
         """Task-uniform batch: per-sample merged == one shared kernel."""
@@ -187,7 +232,9 @@ class TestBF16Path:
         g = make_gate(rng, n, 5, co)
         y32 = mode_conv_expert_sum(x, ek, g)
         y16 = mode_conv_expert_sum(x, ek, g, compute_dtype=jnp.bfloat16)
-        assert y16.dtype == jnp.float32  # fp32 accumulation
+        # AMP emits compute_dtype end-to-end (incl. the gated combine) —
+        # the fp32 floor returns at the BN stats, like torch autocast
+        assert y16.dtype == jnp.bfloat16
         rel = np.max(np.abs(np.asarray(y16) - np.asarray(y32))) / (
             np.max(np.abs(np.asarray(y32))) + 1e-8
         )

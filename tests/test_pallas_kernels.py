@@ -131,3 +131,83 @@ class TestGeneralKernelSizes:
         ref = conv3d_same(x, wk)
         out = pallas_conv3d_same(x, wk, compute_dtype=jnp.float32, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+class TestPerSampleKernels:
+    """Per-sample-weight kernels (the merged-MoDE execution) vs lax."""
+
+    def test_persample_conv_matches_vmapped_lax(self, rng):
+        from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_same_persample
+
+        n, d, h, w, ci, co = 2, 3, 8, 8, 8, 16
+        x = arr(rng, (n, d, h, w, ci))
+        wk = arr(rng, (n, 5, 3, 3, ci, co))
+        ref = jax.vmap(lambda xi, wi: conv3d_same(xi[None], wi)[0])(x, wk)
+        out = pallas_conv3d_same_persample(
+            x, wk, compute_dtype=jnp.float32, out_dtype=jnp.float32,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_persample_dw_matches_explicit(self, rng):
+        from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_dw_persample
+
+        n, d, h, w, ci, co = 2, 3, 8, 8, 4, 8
+        kd, kh, kw = 5, 3, 3
+        x = arr(rng, (n, d, h, w, ci))
+        dy = arr(rng, (n, d, h, w, co))
+        # explicit: dW[n,t,i,o] = sum_p xpad[n, p+t, i] * dy[n, p, o]
+        xp = jnp.pad(x, ((0, 0), (2, 2), (1, 1), (1, 1), (0, 0)))
+        ref = np.zeros((n, kd, kh, kw, ci, co), np.float32)
+        for dz in range(kd):
+            for dyy in range(kh):
+                for dx in range(kw):
+                    a = xp[:, dz : dz + d, dyy : dyy + h, dx : dx + w, :]
+                    ref[:, dz, dyy, dx] = np.einsum(
+                        "ndhwi,ndhwo->nio", np.asarray(a), np.asarray(dy)
+                    )
+        out = pallas_conv3d_dw_persample(
+            x, dy, kd, kh, kw, compute_dtype=jnp.float32, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), ref, rtol=1e-4, atol=1e-5
+        )
+
+    def test_merged_pallas_op_matches_expert_sum_with_grads(self, rng):
+        from repmode_tpu.ops.mode import (
+            ExpertKernels,
+            gate_logits_to_weights,
+            mode_conv_expert_sum_s2d_domain,
+            mode_conv_merged_s2d_pallas,
+        )
+
+        n, ci, co = 2, 2, 4
+        x2 = arr(rng, (n, 4, 8, 8, 4 * ci), 1.0)
+        ek = ExpertKernels(
+            arr(rng, (5, 5, 5, ci, co)), arr(rng, (3, 3, 3, ci, co)),
+            arr(rng, (1, 1, 1, ci, co)), arr(rng, (1, 1, 1, ci, co)),
+            arr(rng, (1, 1, 1, ci, co)),
+        )
+        g = gate_logits_to_weights(arr(rng, (n, 5 * co), 1.0), 5, co)
+        y0 = mode_conv_expert_sum_s2d_domain(x2, ek, g)
+        y1 = mode_conv_merged_s2d_pallas(x2, ek, g, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-5
+        )
+
+        def grads(f, **kw):
+            def loss(xx, eek, gg):
+                return jnp.sum(f(xx, eek, gg, **kw) ** 2)
+
+            return jax.grad(loss, argnums=(0, 1, 2))(x2, ek, g)
+
+        g0 = grads(mode_conv_expert_sum_s2d_domain)
+        g1 = grads(mode_conv_merged_s2d_pallas, interpret=True)
+        for p, q in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            p = np.asarray(p)
+            np.testing.assert_allclose(
+                np.asarray(q), p, rtol=1e-3,
+                atol=1e-5 * (1.0 + np.abs(p).max()),
+            )

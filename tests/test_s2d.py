@@ -131,6 +131,159 @@ class TestTrainS2d:
         )
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("channel_sizes", [None, (64, 64)])
+    def test_expert_sum_s2d_box_branch_matches_native(self, rng, channel_sizes):
+        """Wide inputs (4*Ci >= 256) route the avg branches through the
+        explicit box pool (ops/mode.py geometry dispatch); verify that form
+        against the native expert sum after the domain round-trip, with
+        gradients to every expert kernel."""
+        from repmode_tpu.ops.mode import (
+            ExpertKernels,
+            gate_logits_to_weights,
+            mode_conv_expert_sum,
+            mode_conv_expert_sum_s2d_domain,
+        )
+        from repmode_tpu.ops.s2d import depth_to_space_hw, space_to_depth_hw
+
+        n, co = 1, 4
+        ci = sum(channel_sizes) if channel_sizes else 64  # every segment
+        #           must be >= 64 native channels to engage the box branch
+        x = arr(rng, (n, 2, 6, 6, ci)) * 0.2
+        ek = ExpertKernels(
+            arr(rng, (5, 5, 5, ci, co)) * 0.05,
+            arr(rng, (3, 3, 3, ci, co)) * 0.05,
+            arr(rng, (1, 1, 1, ci, co)) * 0.05,
+            arr(rng, (1, 1, 1, ci, co)) * 0.05,
+            arr(rng, (1, 1, 1, ci, co)) * 0.05,
+        )
+        g = gate_logits_to_weights(arr(rng, (n, 5 * co)), 5, co)
+        if channel_sizes:
+            # decoder-style input: a CONCAT of per-segment s2d tensors
+            parts, off = [], 0
+            for c in channel_sizes:
+                parts.append(space_to_depth_hw(x[..., off : off + c]))
+                off += c
+            x2 = jnp.concatenate(parts, axis=-1)
+        else:
+            x2 = space_to_depth_hw(x)
+        assert x2.shape[-1] >= 256  # the box branch must engage
+        y0 = mode_conv_expert_sum(x, ek, g)
+        y1 = depth_to_space_hw(
+            mode_conv_expert_sum_s2d_domain(x2, ek, g, channel_sizes=channel_sizes)
+        )
+        np.testing.assert_allclose(
+            np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-5
+        )
+
+        def loss(eek):
+            return jnp.sum(
+                mode_conv_expert_sum_s2d_domain(
+                    x2, eek, g, channel_sizes=channel_sizes
+                )
+                ** 2
+            )
+
+        def loss_nat(eek):
+            return jnp.sum(mode_conv_expert_sum(x, eek, g) ** 2)
+
+        g0 = jax.grad(loss_nat)(ek)
+        g1 = jax.grad(loss)(ek)
+        for p, q in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            p = np.asarray(p)
+            np.testing.assert_allclose(
+                np.asarray(q), p, rtol=1e-3,
+                atol=1e-5 * (1.0 + np.abs(p).max()),
+            )
+
+    @pytest.mark.parametrize("channel_sizes", [None, (2, 3)])
+    def test_tapmajor_merged_s2d_matches_expert_sum(self, rng, channel_sizes):
+        """The small-co tap-major merged path (production conv_out lowering,
+        models/repmode.py MoDEConv out_chan<=4) equals the expert sum —
+        forward and gradients."""
+        from repmode_tpu.ops.mode import (
+            ExpertKernels,
+            gate_logits_to_weights,
+            mode_conv_expert_sum_s2d_domain,
+            mode_conv_tapmajor_merged_s2d,
+        )
+
+        n, co = 2, 1
+        ci = sum(channel_sizes) if channel_sizes else 3
+        x2 = arr(rng, (n, 4, 6, 6, 4 * ci))
+        ek = ExpertKernels(
+            arr(rng, (5, 5, 5, ci, co)) * 0.1,
+            arr(rng, (3, 3, 3, ci, co)) * 0.1,
+            arr(rng, (1, 1, 1, ci, co)) * 0.1,
+            arr(rng, (1, 1, 1, ci, co)) * 0.1,
+            arr(rng, (1, 1, 1, ci, co)) * 0.1,
+        )
+        g = gate_logits_to_weights(arr(rng, (n, 5 * co)), 5, co)
+        y0 = mode_conv_expert_sum_s2d_domain(x2, ek, g, channel_sizes=channel_sizes)
+        y1 = mode_conv_tapmajor_merged_s2d(x2, ek, g, channel_sizes=channel_sizes)
+        np.testing.assert_allclose(
+            np.asarray(y1), np.asarray(y0), rtol=1e-5, atol=1e-6
+        )
+
+        def grads(f):
+            def loss(xx, eek, gg):
+                return jnp.sum(f(xx, eek, gg, channel_sizes=channel_sizes) ** 2)
+
+            return jax.grad(loss, argnums=(0, 1, 2))(x2, ek, g)
+
+        g0 = grads(mode_conv_expert_sum_s2d_domain)
+        g1 = grads(mode_conv_tapmajor_merged_s2d)
+        for p, q in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            p = np.asarray(p)
+            # atol scaled to the leaf's magnitude (the gate grad reduces
+            # over all voxels, so its absolute scale is ~100x the others')
+            np.testing.assert_allclose(
+                np.asarray(q), p, rtol=1e-4,
+                atol=1e-5 * (1.0 + np.abs(p).max()),
+            )
+
+    @pytest.mark.parametrize("channel_sizes", [None, (2, 3)])
+    def test_merged_s2d_domain_matches_expert_sum(self, rng, channel_sizes):
+        """Per-sample merged-kernel s2d conv (mode_conv_merged_s2d_domain)
+        equals the expert sum — the reference's routing() merge identity
+        (RepMode.py:171-192) executed in the s2d domain — for forward AND
+        gradients w.r.t. input, every expert kernel, and the gate."""
+        from repmode_tpu.ops.mode import (
+            ExpertKernels,
+            gate_logits_to_weights,
+            mode_conv_expert_sum_s2d_domain,
+            mode_conv_merged_s2d_domain,
+        )
+
+        n, co = 2, 4
+        ci = sum(channel_sizes) if channel_sizes else 3
+        x2 = arr(rng, (n, 4, 6, 6, 4 * ci))
+        ek = ExpertKernels(
+            arr(rng, (5, 5, 5, ci, co)) * 0.1,
+            arr(rng, (3, 3, 3, ci, co)) * 0.1,
+            arr(rng, (1, 1, 1, ci, co)) * 0.1,
+            arr(rng, (1, 1, 1, ci, co)) * 0.1,
+            arr(rng, (1, 1, 1, ci, co)) * 0.1,
+        )
+        g = gate_logits_to_weights(arr(rng, (n, 5 * co)), 5, co)
+        y0 = mode_conv_expert_sum_s2d_domain(x2, ek, g, channel_sizes=channel_sizes)
+        y1 = mode_conv_merged_s2d_domain(x2, ek, g, channel_sizes=channel_sizes)
+        np.testing.assert_allclose(
+            np.asarray(y1), np.asarray(y0), rtol=1e-5, atol=1e-6
+        )
+
+        def grads(f):
+            def loss(xx, eek, gg):
+                return jnp.sum(f(xx, eek, gg, channel_sizes=channel_sizes) ** 2)
+
+            return jax.grad(loss, argnums=(0, 1, 2))(x2, ek, g)
+
+        g0 = grads(mode_conv_expert_sum_s2d_domain)
+        g1 = grads(mode_conv_merged_s2d_domain)
+        for p, q in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(q), np.asarray(p), rtol=1e-4, atol=1e-5
+            )
+
     def test_s2d_kernel_transform_is_differentiable(self, rng):
         from repmode_tpu.ops.s2d import s2d_conv_kernel, space_to_depth_hw
         from repmode_tpu.ops.conv3d import conv3d_same
