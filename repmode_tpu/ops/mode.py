@@ -483,6 +483,36 @@ def mode_conv_merged_s2d_pallas(
     return merged_conv_persample(x2, wn, interpret)
 
 
+def _tap_sum(z: jax.Array, kd: int, kh: int, kw: int, co: int) -> jax.Array:
+    """Tap-major shifted-add reduction: z (N,D,H,W,T*co) -> (N,D,H,W,co),
+    y[p,o] = sum_t z[p + off_t - ctr, t*co + o] with zero padding.
+
+    Plain AD on purpose. Its transpose builds dz by 45 ADDITIVE pads into
+    the padded-z buffer (profiled 22 ms/step at full scale); a gather-form
+    custom VJP (45 shifted SLICES of one padded dy, concatenated on lanes)
+    was built and MEASURED WORSE: the materialized concat cotangent raised
+    peak HBM by >1.36 GB and the full-scale step stopped fitting the chip
+    (XLA's scatter accumulates into the buffer it then consumes). Recorded
+    2026-08-18; the 22 ms stays because the memory headroom is worth more.
+    """
+    n, d, h, wl, _ = z.shape
+    pd_, ph_, pw_ = (kd - 1) // 2, (kh - 1) // 2, (kw - 1) // 2
+    zp = jnp.pad(z, ((0, 0), (pd_, pd_), (ph_, ph_), (pw_, pw_), (0, 0)))
+    y = jnp.zeros((n, d, h, wl, co), jnp.float32)
+    ti = 0
+    for dz_ in range(kd):
+        for dy_ in range(kh):
+            for dx_ in range(kw):
+                y = y + zp[
+                    :, dz_ : dz_ + d, dy_ : dy_ + h, dx_ : dx_ + wl,
+                    ti * co : (ti + 1) * co,
+                ].astype(jnp.float32)
+                ti += 1
+    return y
+
+
+
+
 def mode_conv_tapmajor_merged_s2d(
     x2: jax.Array,
     ek: ExpertKernels,
@@ -526,19 +556,7 @@ def mode_conv_tapmajor_merged_s2d(
         preferred_element_type=jnp.promote_types(x2.dtype, jnp.float32)
         if compute_dtype is None else None,
     )
-    pd_, ph_, pw_ = (kd - 1) // 2, (kh - 1) // 2, (kw - 1) // 2
-    zp = jnp.pad(z, ((0, 0), (pd_, pd_), (ph_, ph_), (pw_, pw_), (0, 0)))
-    y = jnp.zeros((n, d, h, wl, co4), jnp.float32)
-    ti = 0
-    for dz in range(kd):
-        for dy in range(kh):
-            for dx in range(kw):
-                y = y + zp[
-                    :, dz : dz + d, dy : dy + h, dx : dx + wl,
-                    ti * co4 : (ti + 1) * co4,
-                ].astype(jnp.float32)
-                ti += 1
-    return y
+    return _tap_sum(z, kd, kh, kw, co4)
 
 
 def im2col_patches(x: jax.Array, k: int) -> jax.Array:
