@@ -71,6 +71,11 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
                    help="HBM-resident patch pipeline (auto = on when the "
                         "volume bank fits the budget; off = host sampler, "
                         "exact reference batching incl. ragged tails)")
+    p.add_argument("--train_impl", default="auto",
+                   choices=["auto", "expert_sum", "merged_pallas", "merged"],
+                   help="MoDE conv execution (config.py ModelConfig."
+                        "train_impl; auto = per-sample merged Pallas "
+                        "kernels on single-chip TPU, expert sum elsewhere)")
     return p
 
 
@@ -83,7 +88,10 @@ def to_config(ns: argparse.Namespace, exp_name: Optional[str] = None) -> Config:
             os.path.basename(ns.path_exp_dir.rstrip("/")) if ns.path_exp_dir else "exp"
         )
     return Config(
-        model=ModelConfig(name=ns.nn_module, mult_chan=ns.mult_chan),
+        model=ModelConfig(
+            name=ns.nn_module, mult_chan=ns.mult_chan,
+            train_impl=ns.train_impl,
+        ),
         train=TrainConfig(
             num_epochs=ns.num_epochs,
             batch_size=ns.batch_size,

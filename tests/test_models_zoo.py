@@ -98,3 +98,27 @@ class TestCliArgs:
         ns = build_parser().parse_args(["--path_exp_dir", "exps/bar"])
         cfg = to_config(ns)
         assert cfg.run_name == "[bar] [RepMode]"  # config.py:64-69 semantics
+
+
+def test_train_impl_auto_resolves_to_expert_sum_off_tpu(rng):
+    """train_impl='auto' must pick the exact expert-sum path on CPU (the
+    Pallas per-sample kernels need a real single TPU chip): outputs are
+    BITWISE equal to train_impl='expert_sum'."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from repmode_tpu.models.repmode import MoDEConv
+
+    assert jax.default_backend() == "cpu"
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 8, 12)).astype(np.float32))
+    emb = jax.nn.one_hot(jnp.asarray([0, 2]), 3, dtype=jnp.float32)
+    outs = {}
+    for impl in ("auto", "expert_sum"):
+        m = MoDEConv(
+            num_experts=5, num_tasks=3, in_chan=3, out_chan=6,
+            domain="s2d", train_impl=impl,
+        )
+        v = m.init(jax.random.PRNGKey(0), x, emb, train=True)
+        y, _ = m.apply(v, x, emb, train=True, mutable=["batch_stats"])
+        outs[impl] = np.asarray(y)
+    np.testing.assert_array_equal(outs["auto"], outs["expert_sum"])
