@@ -8,7 +8,7 @@ reference merges the experts into one 5^3 kernel per *sample* (routing(),
 RepMode.py:171-192) and then runs a Python loop of per-sample F.conv3d calls
 (RepMode.py:204-208).
 
-TPU-native formulation. Three exact-equivalent execution strategies:
+TPU-native formulation. Exact-equivalent execution strategies:
 
   expert_sum   Convolution is linear in its weights and the gate scales
                per-output-channel, so
@@ -18,13 +18,19 @@ TPU-native formulation. Three exact-equivalent execution strategies:
                their natural sizes (125+27+3 taps + 2 cheap pools vs 125 for
                the merged kernel) and take the gated combination. Every conv
                is a large, static-shaped batch conv that XLA tiles straight
-               onto the MXU — no per-sample kernels, no grouped conv. This is
-               the training path.
+               onto the MXU — no per-sample kernels, no grouped conv. The
+               training path on CPU and under multi-device meshes.
 
-  merged       Build the per-sample merged 5^3 kernel (vectorized routing:
-               one einsum over the expert bank, replacing the Python loop at
-               RepMode.py:183-190) and run a vmapped conv (XLA lowers to a
-               batch-grouped conv). Kept for parity testing and benchmarking.
+  merged_pallas  The reference's own per-sample routing() merge, executed
+               by hand-written Pallas kernels with per-sample weight blocks
+               (ops/pallas/conv3d.py): forward, dx, and dW all run at
+               merged-kernel FLOPs — 45 s2d taps vs the expert sum's 145.
+               The single-chip TPU training path (train_impl='auto';
+               measured step 642 -> 366 ms, ARCHITECTURE.md §11).
+
+  merged       The same merge via a vmapped XLA conv (lowers to a
+               batch-grouped conv; measured 2x slower — kept as the
+               record and for parity testing).
 
   single       One merged kernel for a task-uniform batch -> a single plain
                conv (the reference eval path, RepMode.py:210). Used by the
@@ -121,7 +127,7 @@ def mode_conv_expert_sum(
     compute_dtype under AMP.
     Exactly equals conv(x_n, merged_kernel_n) by linearity (see module doc).
     The s2d-domain formulation of the same contract lives in
-    mode_conv_expert_sum_s2d_domain — the ONLY s2d execution path.
+    mode_conv_expert_sum_s2d_domain.
     """
 
     def cv(inp, w):
