@@ -368,6 +368,10 @@ def mode_conv_merged_s2d_domain(
     return y.astype(jnp.promote_types(y.dtype, jnp.float32))
 
 
+_DW_ACC_BUDGET = 6 * 1024 * 1024
+_DW_MIN_CHUNK = 128
+
+
 def _ps_conv_chunked(x2, wn, interpret, limit=8 * 1024 * 1024):
     """Per-sample conv, chunked over Co so every weight block fits the
     TPU's ~16 MB scoped-VMEM window (Mosaic rejects bigger kernel-resident
@@ -424,9 +428,11 @@ def _merged_conv_ps_bwd(interpret, res, dy):
     # (Mosaic double-buffers the output window, so budget ~6 MB). Chunk
     # over CI — slicing x shrinks the accumulator AND the input slab;
     # chunking the LAST (lane) dim below 128 would not shrink anything.
+    # _DW_ACC_BUDGET is module-level so tests can force the chunked path
+    # at small shapes.
     chunk = ci
-    while kd * kh * kw * chunk * co * 4 > 6 * 1024 * 1024 \
-            and chunk % 2 == 0 and chunk > 128:
+    while kd * kh * kw * chunk * co * 4 > _DW_ACC_BUDGET \
+            and chunk % 2 == 0 and chunk > _DW_MIN_CHUNK:
         chunk //= 2
     if chunk == ci:
         dwn = pallas_conv3d_dw_persample(

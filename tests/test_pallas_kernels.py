@@ -211,3 +211,68 @@ class TestPerSampleKernels:
                 np.asarray(q), p, rtol=1e-3,
                 atol=1e-5 * (1.0 + np.abs(p).max()),
             )
+
+    def test_merged_op_grads_with_forced_dw_chunking(self, rng, monkeypatch):
+        """The dW ci-chunking (scoped-VMEM escape at wide layers) must not
+        change gradients — force it at a small shape and compare against
+        the unchunked path."""
+        from repmode_tpu.ops import mode as mode_mod
+        from repmode_tpu.ops.mode import merged_conv_persample
+
+        n, d, h, w, ci, co = 2, 3, 8, 8, 8, 8
+        x = arr(rng, (n, d, h, w, ci))
+        wk = arr(rng, (n, 5, 3, 3, ci, co))
+
+        def loss(xx, ww):
+            return jnp.sum(merged_conv_persample(xx, ww, True) ** 2)
+
+        g_ref = jax.grad(loss, argnums=(0, 1))(x, wk)
+        monkeypatch.setattr(mode_mod, "_DW_ACC_BUDGET", 1)
+        monkeypatch.setattr(mode_mod, "_DW_MIN_CHUNK", 2)
+        g_chunk = jax.grad(loss, argnums=(0, 1))(x, wk)
+        for p, q in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_chunk)):
+            np.testing.assert_allclose(
+                np.asarray(q), np.asarray(p), rtol=1e-5, atol=1e-6
+            )
+
+    def test_merged_op_under_shard_map_data_parallel(self, rng):
+        """Capability: the per-sample merged conv (custom VJP and all) runs
+        under jax.shard_map on a data-sharded mesh — each shard executes
+        the kernel on its local batch; per-sample weights shard with it, so
+        no collectives are needed inside the conv. This is the multi-chip
+        recipe for train_impl='merged_pallas' (auto stays on the expert sum
+        under meshes because a bare pallas_call has no GSPMD rule)."""
+        import jax
+        from jax.sharding import Mesh, PartitionSpec as P
+        from repmode_tpu.ops.mode import merged_conv_persample
+
+        n, d, h, w, ci, co = 8, 3, 8, 8, 4, 8
+        x = arr(rng, (n, d, h, w, ci))
+        wk = arr(rng, (n, 5, 3, 3, ci, co))
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        f = jax.shard_map(
+            lambda xx, ww: merged_conv_persample(xx, ww, True),
+            mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=P("data"), check_vma=False,
+        )
+        ref = jax.vmap(lambda xi, wi: conv3d_same(xi[None], wi)[0])(x, wk)
+        y = jax.jit(f)(x, wk)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+        def loss(xx, ww):
+            return jnp.sum(f(xx, ww) ** 2)
+
+        def loss_ref(xx, ww):
+            return jnp.sum(
+                jax.vmap(lambda xi, wi: conv3d_same(xi[None], wi)[0])(xx, ww)
+                ** 2
+            )
+
+        g1 = jax.jit(jax.grad(loss, argnums=(0, 1)))(x, wk)
+        g0 = jax.grad(loss_ref, argnums=(0, 1))(x, wk)
+        for p, q in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(q), np.asarray(p), rtol=1e-4, atol=1e-5
+            )
