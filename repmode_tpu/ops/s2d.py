@@ -205,6 +205,12 @@ def upsample_to_s2d(x: jax.Array, w: jax.Array, *, compute_dtype=None) -> jax.Ar
     # (a,b,c,i,o) -> (a, i, (b,c,o))
     wm = w.transpose(0, 3, 1, 2, 4).reshape(2, ci, 4 * co)
     y = jnp.einsum("ndhwi,aik->nadhwk", x, wm)
+    if compute_dtype is not None:
+        # Pin the convert BEFORE the interleave transpose: XLA otherwise
+        # defers the dot's fp32 accumulator past the layout copy, doubling
+        # the relayout traffic (profiled in-situ: copy.134 f32 at the L2->L1
+        # shape, tools/profile_forward.py 2026-08-18).
+        y = y.astype(compute_dtype)
     y = y.transpose(0, 2, 1, 3, 4, 5)  # (n, d, a, h, w, k)
     return y.reshape(n, 2 * d, hh, ww, 4 * co)
 
@@ -272,6 +278,10 @@ def upsample_s2d_to_s2d(
     # (a,b,c,i,o) -> (i, a, (b,c,o)); same contraction for every input phase
     wm = w.transpose(3, 0, 1, 2, 4).reshape(ci, 2, 4 * co)
     y = jnp.einsum("ndhwpxi,iak->ndhwpxak", xv, wm)
+    if compute_dtype is not None:
+        # See upsample_to_s2d: convert before the interleave transpose so
+        # the unavoidable relayout copy moves compute_dtype, not fp32.
+        y = y.astype(compute_dtype)
     # (n,d,h',w',p,x,a,k) -> (n, d,a, h',p, w',x, k) and collapse interleaves
     y = y.transpose(0, 1, 6, 2, 4, 3, 5, 7)
     return y.reshape(n, 2 * d, 2 * hh, 2 * ww, 4 * co)
