@@ -169,14 +169,14 @@ class MoDEConv(nn.Module):
         if impl == "auto":
             # Pallas kernels need the real TPU backend; CPU (tests, the
             # driver's virtual-mesh dryrun) takes the exact expert sum.
-            # Multi-device meshes also stay on expert_sum: a pallas_call
-            # custom call has no GSPMD partitioning rule, so XLA would
-            # force replication of the batch-sharded operands. Mesh users
-            # wanting the merged kernels can shard_map + train_impl=
-            # 'merged_pallas' explicitly.
+            # Multi-device data-parallel meshes keep the merged kernels:
+            # every stage of merged_conv_persample carries a batch-parallel
+            # GSPMD/Shardy rule (ops/mode.py _wrap_batch_parallel), so each
+            # chip runs the Pallas kernel on its local batch shard
+            # (tests/test_pallas_kernels.py pjit-mesh test: no all-gathers).
             impl = (
                 "merged_pallas"
-                if jax.default_backend() == "tpu" and len(jax.devices()) == 1
+                if jax.default_backend() == "tpu"
                 else "expert_sum"
             )
         if self.domain == "s2d":

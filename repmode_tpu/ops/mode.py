@@ -19,14 +19,16 @@ TPU-native formulation. Exact-equivalent execution strategies:
                the merged kernel) and take the gated combination. Every conv
                is a large, static-shaped batch conv that XLA tiles straight
                onto the MXU — no per-sample kernels, no grouped conv. The
-               training path on CPU and under multi-device meshes.
+               training path on CPU.
 
   merged_pallas  The reference's own per-sample routing() merge, executed
                by hand-written Pallas kernels with per-sample weight blocks
                (ops/pallas/conv3d.py): forward, dx, and dW all run at
                merged-kernel FLOPs — 45 s2d taps vs the expert sum's 145.
-               The single-chip TPU training path (train_impl='auto';
-               measured step 642 -> 366 ms, ARCHITECTURE.md §11).
+               The TPU training path (train_impl='auto'; measured step
+               642 -> 366 ms, ARCHITECTURE.md §11). Under multi-device
+               meshes each stage's batch-parallel GSPMD rule
+               (_wrap_batch_parallel) keeps the kernels shard-local.
 
   merged       The same merge via a vmapped XLA conv (lowers to a
                batch-grouped conv; measured 2x slower — kept as the
@@ -372,6 +374,85 @@ _DW_ACC_BUDGET = 6 * 1024 * 1024
 _DW_MIN_CHUNK = 128
 
 
+def _wrap_batch_parallel(fn, sharding_rule, repl_factors):
+    """Give a batch-parallel op a GSPMD/Shardy partitioning rule.
+
+    `fn` takes array arguments that all carry the batch on dim 0, computes
+    nothing across samples, and returns a batch-dim-0 result. Under a
+    batch-sharded mesh each device then runs `fn` on its local shard only.
+    This is what lets the per-sample Pallas kernels (a pallas_call custom
+    call has no built-in GSPMD rule, so XLA would force replication of the
+    batch-sharded operands) run under pjit data parallelism — the
+    TPU-native answer to the reference's DataParallel training
+    (fnet_model.py:96-132). Validated on a virtual CPU mesh in
+    tests/test_pallas_kernels.py (no all-gathers in the lowered HLO).
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cp = custom_partitioning(fn)
+
+    def _batched(mesh, rank, batch_axes):
+        return NamedSharding(
+            mesh, PartitionSpec(*([batch_axes] + [None] * (rank - 1)))
+        )
+
+    def _batch_axes(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) else None
+
+    def partition(mesh, arg_shapes, result_shape):
+        # Demand: batch dim keeps operand 0's axes, everything else
+        # replicated (XLA reshards mismatched operands for us).
+        b = _batch_axes(arg_shapes)
+        args = tuple(_batched(mesh, len(a.shape), b) for a in arg_shapes)
+        return mesh, fn, _batched(mesh, len(result_shape.shape), b), args
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _batched(
+            mesh, len(result_shape.shape), _batch_axes(arg_shapes)
+        )
+
+    cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=sharding_rule,
+        need_replication_factors=repl_factors,
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _ps_conv_partitioned(interpret: bool):
+    """Batch-partitioned per-sample 'same' conv (forward and dx stages)."""
+
+    # custom_partitioning resolves args positionally — no kwargs/partials
+    def conv(x2, wn):
+        return _ps_conv_chunked(x2, wn, interpret)
+
+    # factor order follows first appearance (Shardy requires the
+    # need_replication set sorted by factor index)
+    return _wrap_batch_parallel(
+        conv,
+        "n d h w i, n p q r i o -> n d h w o",
+        ("d", "h", "w", "i", "p", "q", "r", "o"),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _ps_dw_partitioned(kd: int, kh: int, kw: int, interpret: bool):
+    """Batch-partitioned per-sample tap-correlation (dW stage)."""
+
+    def dw(x2, dyc):
+        return _ps_dw_chunked(x2, dyc, kd, kh, kw, interpret)
+
+    return _wrap_batch_parallel(
+        dw,
+        "n d h w i, n d h w o -> n p q r i o",
+        ("d", "h", "w", "i", "o", "p", "q", "r"),
+    )
+
+
 def _ps_conv_chunked(x2, wn, interpret, limit=8 * 1024 * 1024):
     """Per-sample conv, chunked over Co so every weight block fits the
     TPU's ~16 MB scoped-VMEM window (Mosaic rejects bigger kernel-resident
@@ -396,6 +477,39 @@ def _ps_conv_chunked(x2, wn, interpret, limit=8 * 1024 * 1024):
     )
 
 
+def _ps_dw_chunked(x2, dyc, kd, kh, kw, interpret):
+    """Per-sample tap-correlation dW, chunked over Ci.
+
+    Chunks the fp32 dW accumulator under the ~16 MB scoped-VMEM window
+    (Mosaic double-buffers the output window, so budget ~6 MB). Chunk
+    over CI — slicing x shrinks the accumulator AND the input slab;
+    chunking the LAST (lane) dim below 128 would not shrink anything.
+    _DW_ACC_BUDGET is module-level so tests can force the chunked path
+    at small shapes.
+    """
+    from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_dw_persample
+
+    ci, co = x2.shape[-1], dyc.shape[-1]
+    chunk = ci
+    while kd * kh * kw * chunk * co * 4 > _DW_ACC_BUDGET \
+            and chunk % 2 == 0 and chunk > _DW_MIN_CHUNK:
+        chunk //= 2
+    if chunk == ci:
+        return pallas_conv3d_dw_persample(
+            x2, dyc, kd, kh, kw, compute_dtype=x2.dtype, interpret=interpret
+        )
+    return jnp.concatenate(
+        [
+            pallas_conv3d_dw_persample(
+                x2[..., i : i + chunk], dyc, kd, kh, kw,
+                compute_dtype=x2.dtype, interpret=interpret,
+            )
+            for i in range(0, ci, chunk)
+        ],
+        axis=4,
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def merged_conv_persample(x2: jax.Array, wn: jax.Array, interpret: bool = False):
     """Per-sample-kernel 'same' conv with a hand-written backward.
@@ -406,9 +520,11 @@ def merged_conv_persample(x2: jax.Array, wn: jax.Array, interpret: bool = False)
     flipped, io-transposed kernels; dW is the per-sample tap correlation.
     All three stages run at merged-kernel FLOPs (45 s2d taps), 3.2x less
     than the expert-sum's 145 — the cut XLA's grouped conv could not
-    deliver (ARCHITECTURE.md §11).
+    deliver (ARCHITECTURE.md §11). Every stage carries a batch-parallel
+    GSPMD rule (_wrap_batch_parallel), so the op shards over the data
+    axis under pjit meshes.
     """
-    return _ps_conv_chunked(x2, wn, interpret)
+    return _ps_conv_partitioned(interpret)(x2, wn)
 
 
 def _merged_conv_ps_fwd(x2, wn, interpret):
@@ -416,39 +532,12 @@ def _merged_conv_ps_fwd(x2, wn, interpret):
 
 
 def _merged_conv_ps_bwd(interpret, res, dy):
-    from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_dw_persample
-
     x2, wn = res
     wt = jnp.flip(wn, axis=(1, 2, 3)).swapaxes(-1, -2)
     dyc = dy.astype(x2.dtype)
-    dx = _ps_conv_chunked(dyc, wt, interpret)
+    dx = _ps_conv_partitioned(interpret)(dyc, wt)
     kd, kh, kw = wn.shape[1:4]
-    ci, co = wn.shape[4], wn.shape[5]
-    # chunk the fp32 dW accumulator under the ~16 MB scoped-VMEM window
-    # (Mosaic double-buffers the output window, so budget ~6 MB). Chunk
-    # over CI — slicing x shrinks the accumulator AND the input slab;
-    # chunking the LAST (lane) dim below 128 would not shrink anything.
-    # _DW_ACC_BUDGET is module-level so tests can force the chunked path
-    # at small shapes.
-    chunk = ci
-    while kd * kh * kw * chunk * co * 4 > _DW_ACC_BUDGET \
-            and chunk % 2 == 0 and chunk > _DW_MIN_CHUNK:
-        chunk //= 2
-    if chunk == ci:
-        dwn = pallas_conv3d_dw_persample(
-            x2, dyc, kd, kh, kw, compute_dtype=x2.dtype, interpret=interpret
-        )
-    else:
-        dwn = jnp.concatenate(
-            [
-                pallas_conv3d_dw_persample(
-                    x2[..., i : i + chunk], dyc, kd, kh, kw,
-                    compute_dtype=x2.dtype, interpret=interpret,
-                )
-                for i in range(0, ci, chunk)
-            ],
-            axis=4,
-        )
+    dwn = _ps_dw_partitioned(kd, kh, kw, interpret)(x2, dyc)
     return dx, dwn.astype(wn.dtype)
 
 

@@ -239,9 +239,9 @@ class TestPerSampleKernels:
         """Capability: the per-sample merged conv (custom VJP and all) runs
         under jax.shard_map on a data-sharded mesh — each shard executes
         the kernel on its local batch; per-sample weights shard with it, so
-        no collectives are needed inside the conv. This is the multi-chip
-        recipe for train_impl='merged_pallas' (auto stays on the expert sum
-        under meshes because a bare pallas_call has no GSPMD rule)."""
+        no collectives are needed inside the conv. (The production mesh
+        path is the GSPMD rule tested below; shard_map remains supported
+        for users hand-scheduling their own parallelism.)"""
         import jax
         from jax.sharding import Mesh, PartitionSpec as P
         from repmode_tpu.ops.mode import merged_conv_persample
@@ -276,3 +276,53 @@ class TestPerSampleKernels:
             np.testing.assert_allclose(
                 np.asarray(q), np.asarray(p), rtol=1e-4, atol=1e-5
             )
+
+    def test_merged_op_under_pjit_mesh_gspmd(self, rng):
+        """The production multi-chip path: under plain jit with
+        batch-sharded inputs, the _wrap_batch_parallel GSPMD/Shardy rule
+        keeps every stage of the per-sample merged conv (forward, dx, dW)
+        shard-local — the lowered HLO contains no all-gather of the
+        activations — and values/grads match the single-device reference.
+        This is what lets train_impl='auto' keep the merged Pallas kernels
+        under multi-device data-parallel meshes (ops/mode.py
+        _ps_conv_partitioned / _ps_dw_partitioned)."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from repmode_tpu.ops.mode import merged_conv_persample
+
+        n, d, h, w, ci, co = 8, 3, 8, 8, 4, 8
+        x = arr(rng, (n, d, h, w, ci))
+        wk = arr(rng, (n, 5, 3, 3, ci, co))
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        ws = jax.device_put(wk, NamedSharding(mesh, P("data")))
+
+        f = jax.jit(lambda xx, ww: merged_conv_persample(xx, ww, True))
+        ref = jax.vmap(lambda xi, wi: conv3d_same(xi[None], wi)[0])(x, wk)
+        y = f(xs, ws)
+        assert y.sharding.spec == P("data")
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+        hlo = f.lower(xs, ws).compile().as_text()
+        assert "all-gather" not in hlo
+
+        def loss(xx, ww):
+            return jnp.sum(merged_conv_persample(xx, ww, True) ** 2)
+
+        def loss_ref(xx, ww):
+            return jnp.sum(
+                jax.vmap(lambda xi, wi: conv3d_same(xi[None], wi)[0])(xx, ww)
+                ** 2
+            )
+
+        gf = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        g1 = gf(xs, ws)
+        g0 = jax.grad(loss_ref, argnums=(0, 1))(x, wk)
+        assert g1[1].sharding.spec[0] == "data"
+        for p, q in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(q), np.asarray(p), rtol=1e-4, atol=1e-5
+            )
+        ghlo = gf.lower(xs, ws).compile().as_text()
+        assert "all-gather" not in ghlo
