@@ -173,7 +173,17 @@ class MoDEConv(nn.Module):
             # every stage of merged_conv_persample carries a batch-parallel
             # GSPMD/Shardy rule (ops/mode.py _wrap_batch_parallel), so each
             # chip runs the Pallas kernel on its local batch shard
-            # (tests/test_pallas_kernels.py pjit-mesh test: no all-gathers).
+            # (tests/test_pallas_kernels.py pjit-mesh test: no collectives).
+            # Hardware validation status: single-chip Mosaic lowering is
+            # validated on a real TPU (tools/smoke_tpu_merged.py — values
+            # and grads vs the exact expert sum); the multi-chip
+            # Mosaic-under-GSPMD composition is validated only on the
+            # virtual CPU mesh (no multi-chip hardware in this environment).
+            # The rule also assumes BATCH-dim data parallelism: on meshes
+            # that shard activations spatially or by channel it forces
+            # replication at every MoDE conv. Escape hatch for both:
+            # --train_impl expert_sum (cli/args.py) keeps the exact
+            # XLA-only path. See ARCHITECTURE.md §5.
             impl = (
                 "merged_pallas"
                 if jax.default_backend() == "tpu"

@@ -151,6 +151,27 @@ class TestPerSampleKernels:
             np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
         )
 
+    @pytest.mark.parametrize("kd", [3, 5])
+    def test_persample_transposed_conv_matches_flipped(self, rng, kd):
+        """transpose_taps=True (the dx backward stage) must equal the conv
+        of dy with the spatially flipped, io-transposed kernels — computed
+        here explicitly, while the kernel reads the FORWARD weights with
+        reversed taps and contracts the output axis in-place."""
+        from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_same_persample
+
+        n, d, h, w, ci, co = 2, 3, 8, 8, 8, 16
+        wk = arr(rng, (n, kd, 3, 3, ci, co))
+        dy = arr(rng, (n, d, h, w, co))
+        wt = jnp.flip(wk, axis=(1, 2, 3)).swapaxes(-1, -2)
+        ref = jax.vmap(lambda yi, wi: conv3d_same(yi[None], wi)[0])(dy, wt)
+        out = pallas_conv3d_same_persample(
+            dy, wk, transpose_taps=True, compute_dtype=jnp.float32,
+            out_dtype=jnp.float32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
     def test_persample_dw_matches_explicit(self, rng):
         from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_dw_persample
 
@@ -235,6 +256,67 @@ class TestPerSampleKernels:
                 np.asarray(q), np.asarray(p), rtol=1e-5, atol=1e-6
             )
 
+    def test_chunk_sizes_stay_lane_multiples_at_non_pow2_widths(
+        self, rng, monkeypatch
+    ):
+        """_lane_chunk must never emit a chunk that is not a multiple of the
+        lane width: the old halving loop turned Co=384 into a 96-lane chunk
+        (384 -> 192 -> 96), which breaks Mosaic's 128-aligned channel-dim
+        DMA slicing. Check the selector directly at non-power-of-two widths
+        and run the forced-chunk conv at a non-power-of-two Co through the
+        interpret-mode kernel."""
+        from repmode_tpu.ops import mode as mode_mod
+
+        # selector: every produced chunk divides the width and is a
+        # multiple of 128, even when the fit forces chunking
+        for full in (384, 640, 1152):
+            got = mode_mod._lane_chunk(full, lambda c: c <= 128)
+            assert got % 128 == 0 and full % got == 0, (full, got)
+            got = mode_mod._lane_chunk(full, lambda c: False)
+            assert got % 128 == 0 and full % got == 0, (full, got)
+        assert mode_mod._lane_chunk(384, lambda c: c <= 256) == 128
+
+        # end-to-end: non-power-of-two Co=12 with a forced tiny budget and
+        # lane=4 still matches the unchunked conv (grads included)
+        from repmode_tpu.ops.mode import merged_conv_persample
+
+        n, d, h, w, ci, co = 2, 3, 8, 8, 8, 12
+        x = arr(rng, (n, d, h, w, ci))
+        wk = arr(rng, (n, 5, 3, 3, ci, co))
+
+        def loss(xx, ww):
+            return jnp.sum(merged_conv_persample(xx, ww, True) ** 2)
+
+        y_ref = jax.vmap(lambda xi, wi: conv3d_same(xi[None], wi)[0])(x, wk)
+        g_ref = jax.grad(loss, argnums=(0, 1))(x, wk)
+
+        seen = []
+        orig = mode_mod._lane_chunk
+
+        def spy(full, fits, lane=128):
+            got = orig(full, fits, lane)
+            seen.append((full, got, lane))
+            # unchunked (got == full) is always legal; an actual chunk must
+            # be a lane multiple that divides the full width
+            assert got == full or (
+                got % lane == 0 and full % got == 0
+            ), (full, got, lane)
+            return got
+
+        monkeypatch.setattr(mode_mod, "_lane_chunk", spy)
+        monkeypatch.setattr(mode_mod, "_DW_ACC_BUDGET", 1)
+        monkeypatch.setattr(mode_mod, "_DW_MIN_CHUNK", 4)
+        y = merged_conv_persample(x, wk, True)
+        g = jax.grad(loss, argnums=(0, 1))(x, wk)
+        assert seen, "chunk selector was never consulted"
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5
+        )
+        for p, q in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+            np.testing.assert_allclose(
+                np.asarray(q), np.asarray(p), rtol=1e-4, atol=1e-5
+            )
+
     def test_merged_op_under_shard_map_data_parallel(self, rng):
         """Capability: the per-sample merged conv (custom VJP and all) runs
         under jax.shard_map on a data-sharded mesh — each shard executes
@@ -305,7 +387,11 @@ class TestPerSampleKernels:
             np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-5
         )
         hlo = f.lower(xs, ws).compile().as_text()
-        assert "all-gather" not in hlo
+        # no collective of any kind: grads need no cross-shard reduction
+        # either (dW here is per-sample), so all-reduce/collective-permute
+        # would equally signal a broken sharding rule
+        for coll in ("all-gather", "all-reduce", "collective-permute"):
+            assert coll not in hlo, coll
 
         def loss(xx, ww):
             return jnp.sum(merged_conv_persample(xx, ww, True) ** 2)
@@ -325,4 +411,5 @@ class TestPerSampleKernels:
                 np.asarray(q), np.asarray(p), rtol=1e-4, atol=1e-5
             )
         ghlo = gf.lower(xs, ws).compile().as_text()
-        assert "all-gather" not in ghlo
+        for coll in ("all-gather", "all-reduce", "collective-permute"):
+            assert coll not in ghlo, coll

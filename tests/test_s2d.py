@@ -242,6 +242,56 @@ class TestTrainS2d:
             )
 
     @pytest.mark.parametrize("channel_sizes", [None, (2, 3)])
+    def test_im2col_merged_s2d_matches_expert_sum(self, rng, channel_sizes):
+        """The narrow-input per-sample im2col path (production enc1 conv1
+        lowering: 4*Ci < 128, dispatched from mode_conv_merged_s2d_pallas)
+        equals the expert sum — forward and gradients."""
+        from repmode_tpu.ops.mode import (
+            ExpertKernels,
+            gate_logits_to_weights,
+            mode_conv_expert_sum_s2d_domain,
+            mode_conv_im2col_merged_s2d,
+        )
+
+        n, co = 2, 8
+        ci = sum(channel_sizes) if channel_sizes else 1
+        x2 = arr(rng, (n, 4, 6, 6, 4 * ci))
+        ek = ExpertKernels(
+            arr(rng, (5, 5, 5, ci, co)) * 0.1,
+            arr(rng, (3, 3, 3, ci, co)) * 0.1,
+            arr(rng, (1, 1, 1, ci, co)) * 0.1,
+            arr(rng, (1, 1, 1, ci, co)) * 0.1,
+            arr(rng, (1, 1, 1, ci, co)) * 0.1,
+        )
+        g = gate_logits_to_weights(arr(rng, (n, 5 * co)), 5, co)
+        y0 = mode_conv_expert_sum_s2d_domain(
+            x2, ek, g, channel_sizes=channel_sizes
+        )
+        y1 = mode_conv_im2col_merged_s2d(
+            x2, ek, g, channel_sizes=channel_sizes
+        )
+        np.testing.assert_allclose(
+            np.asarray(y1), np.asarray(y0), rtol=1e-5, atol=1e-6
+        )
+
+        def grads(f):
+            def loss(xx, eek, gg):
+                return jnp.sum(
+                    f(xx, eek, gg, channel_sizes=channel_sizes) ** 2
+                )
+
+            return jax.grad(loss, argnums=(0, 1, 2))(x2, ek, g)
+
+        g0 = grads(mode_conv_expert_sum_s2d_domain)
+        g1 = grads(mode_conv_im2col_merged_s2d)
+        for p, q in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            p = np.asarray(p)
+            np.testing.assert_allclose(
+                np.asarray(q), p, rtol=1e-4,
+                atol=1e-5 * (1.0 + np.abs(p).max()),
+            )
+
+    @pytest.mark.parametrize("channel_sizes", [None, (2, 3)])
     def test_merged_s2d_domain_matches_expert_sum(self, rng, channel_sizes):
         """Per-sample merged-kernel s2d conv (mode_conv_merged_s2d_domain)
         equals the expert sum — the reference's routing() merge identity

@@ -6,11 +6,25 @@ reference's exact training configuration (scripts/run/train_and_eval.sh:
 batch 8, Adam 1e-4; fnet_model.py:104-113 AMP -> bf16). Reports
 ms/step and training voxels/s.
 
-The per-step scalar loss fetch (~31 ms tunnel tax, ARCHITECTURE.md §8) is
-amortized over a >1 s step; steps chain through the state so execution is
-sequential.
+Two protocols, both reported:
+
+  ms_per_step            one step at a time, blocking on the loss scalar
+                         each iteration — includes the host dispatch gap
+                         and the axon tunnel's scalar-fetch tax
+                         (ARCHITECTURE.md §8) once per step.
+  ms_per_step_pipelined  the steady-state training loop: all steps
+                         dispatched back-to-back (states chain through
+                         donated buffers, so the device serializes them),
+                         one block at the end. This is what a real epoch
+                         costs per step — the reference's loop equally
+                         overlaps host work with device steps via CUDA
+                         async dispatch (fnet_model.py:96-132).
+
+MFU is reported against the analytic model FLOPs (utils/flops.py):
+3 x forward FLOPs per step (fwd + dx + dW), batch x patch voxels.
 
 Usage: python tools/bench_train.py [--steps 6] [--batch 8] [--remat]
+                                   [--out BENCH_TRAIN.json]
 """
 
 import argparse
@@ -35,6 +49,8 @@ def main():
     ap.add_argument("--decomp", action="store_true",
                     help="also time fwd-only and fwd+bwd to decompose the "
                          "step cost")
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the result record to this JSON file")
     args = ap.parse_args()
 
     import jax
@@ -120,7 +136,31 @@ def main():
     vox = n * int(np.prod(patch))
     rec["ms_per_step"] = round(med * 1e3, 1)
     rec["train_voxels_per_s"] = round(vox / med, 1)
+
+    # steady-state loop: dispatch every step, block once at the end
+    t0 = time.perf_counter()
+    for _i in range(args.steps):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    piped = (time.perf_counter() - t0) / args.steps
+    rec["ms_per_step_pipelined"] = round(piped * 1e3, 1)
+    rec["train_voxels_per_s_pipelined"] = round(vox / piped, 1)
+
+    from repmode_tpu.utils.flops import inference_flops_per_patch
+
+    step_flops = 3 * n * inference_flops_per_patch(cfg.model, patch)
+    rec["model_flops_per_step"] = step_flops
+    tflops = step_flops / piped / 1e12
+    rec["tflops_effective"] = round(tflops, 2)
+    peaks = {"TPU v5e": 197.0, "TPU v5 lite": 197.0, "TPU v4": 275.0}
+    peak = peaks.get(rec["device"])
+    rec["device_peak_bf16_tflops"] = peak
+    rec["mfu"] = round(tflops / peak, 4) if peak else None
     print(json.dumps(rec))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":

@@ -203,6 +203,12 @@ def main():
                          "the floor into an existing --out JSON (the base "
                          "reference run is deterministic; its stored MSEs "
                          "are exact).")
+    ap.add_argument("--floor-start", type=int, default=0,
+                    help="with --floor-only: first perturb_index to run; "
+                         "new samples are APPENDED to the samples already "
+                         "in --out (each index is a distinct weight flip, "
+                         "so arms from previous runs stay valid — they are "
+                         "bit-deterministic on this box).")
     args = ap.parse_args()
     set_num_tasks(args.num_tasks)
 
@@ -216,11 +222,11 @@ def main():
         tgt = (TASK_A[t] * boxblur3(sig) + TASK_B[t] * sig).astype(np.float32)
         val.append((sig, tgt, task))
 
-    def run_floor_arms(ref_val):
+    def run_floor_arms(ref_val, start=0):
         """>=1 independently perturbed reference retrains; per-seed floors."""
         samples = []
         per_task_all = []
-        for s in range(args.floor_seeds):
+        for s in range(start, start + args.floor_seeds):
             _, _, ref_val2 = train_reference(
                 batches, val, args.mult_chan, args.lr,
                 perturb_ulp=True, perturb_index=s)
@@ -253,7 +259,15 @@ def main():
             rec = json.load(f)
         assert rec["steps"] == args.steps and rec["mult_chan"] == args.mult_chan
         ref_val = rec["reference_val_mse_per_task"]
-        samples, per_task_all = run_floor_arms(ref_val)
+        samples, per_task_all = run_floor_arms(ref_val, args.floor_start)
+        if args.floor_start:
+            prior = rec.get("noise_floor_samples_max_rel", [])
+            assert len(prior) == args.floor_start, (
+                "floor-start must equal the number of samples already "
+                "recorded", len(prior), args.floor_start)
+            samples = prior + samples
+            pt0 = rec.get("reference_noise_floor_rel_diff_per_task")
+            per_task_all = ([pt0] if pt0 else []) + per_task_all
         merge_floor(rec, samples, per_task_all)
         with open(args.out, "w") as f:
             json.dump(rec, f, indent=2)
