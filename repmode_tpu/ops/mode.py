@@ -46,6 +46,7 @@ avg3(.)conv1, avg5(.)conv1] (RepMode.py:184-188).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -398,8 +399,15 @@ def _wrap_batch_parallel(fn, sharding_rule, repl_factors):
         )
 
     def _batch_axes(arg_shapes):
-        spec = arg_shapes[0].sharding.spec
-        return spec[0] if len(spec) else None
+        # All operands carry the batch on dim 0; take the first one that is
+        # actually batch-sharded so data parallelism survives even when
+        # operand 0 arrives replicated (e.g. only the per-sample weights
+        # carry the sharding after an upstream reshard).
+        for a in arg_shapes:
+            spec = a.sharding.spec
+            if len(spec) and spec[0] is not None:
+                return spec[0]
+        return None
 
     def partition(mesh, arg_shapes, result_shape):
         # Demand: batch dim keeps operand 0's axes, everything else
@@ -440,6 +448,25 @@ def _ps_conv_partitioned(interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _ps_convT_partitioned(interpret: bool):
+    """Batch-partitioned per-sample TRANSPOSED conv (the dx stage).
+
+    Takes the cotangent dy and the FORWARD per-sample kernels; the Pallas
+    kernel reads the taps reversed and contracts on the output axis, so the
+    flipped kernels are never materialized in HBM (the old backward wrote
+    and re-read a full (N,45,Ci,Co) flipped copy per MoDE conv per step)."""
+
+    def convT(dy, wn):
+        return _ps_conv_chunked(dy, wn, interpret, transpose=True)
+
+    return _wrap_batch_parallel(
+        convT,
+        "n d h w o, n p q r i o -> n d h w i",
+        ("d", "h", "w", "o", "p", "q", "r", "i"),
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _ps_dw_partitioned(kd: int, kh: int, kw: int, interpret: bool):
     """Batch-partitioned per-sample tap-correlation (dW stage)."""
 
@@ -453,27 +480,59 @@ def _ps_dw_partitioned(kd: int, kh: int, kw: int, interpret: bool):
     )
 
 
-def _ps_conv_chunked(x2, wn, interpret, limit=8 * 1024 * 1024):
-    """Per-sample conv, chunked over Co so every weight block fits the
-    TPU's ~16 MB scoped-VMEM window (Mosaic rejects bigger kernel-resident
-    blocks — measured at dec2 conv1, 45x512x256 bf16 = 11.8 MB + slabs)."""
+def _lane_chunk(full: int, fits, lane: int = 128) -> int:
+    """Largest divisor of `full` that is a multiple of `lane` (the TPU lane
+    width — Mosaic DMA slices the channel dim, so chunk boundaries must be
+    128-aligned) and satisfies `fits(chunk)`. Falls back to the smallest
+    lane-multiple divisor when none fits (the kernel then relies on Mosaic's
+    scoped-VMEM checks). `full` itself must be a multiple of the lane width
+    (guarded at the merged-pallas dispatch, mode_conv_merged_s2d_pallas);
+    the old halving loop could emit a 96-lane chunk at non-power-of-two
+    widths (e.g. 384 -> 192 -> 96), which this enumeration cannot."""
+    if fits(full):
+        return full
+    best = full
+    for cand in range(full - lane, 0, -lane):
+        if full % cand:
+            continue
+        best = cand
+        if fits(cand):
+            return cand
+    return best
+
+
+def _ps_conv_chunked(x2, wn, interpret, transpose=False,
+                     limit=8 * 1024 * 1024):
+    """Per-sample conv, chunked over the OUTPUT channels so every weight
+    block fits the TPU's ~16 MB scoped-VMEM window (Mosaic rejects bigger
+    kernel-resident blocks — measured at dec2 conv1, 45x512x256 bf16 =
+    11.8 MB + slabs). transpose=True is the dx stage: output channels are
+    wn's Ci axis, so the chunk slices axis 4 instead of 5."""
     from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_same_persample
 
     n, kd, kh, kw, ci, co = wn.shape
-    chunk = co
-    while kd * kh * kw * ci * chunk * 2 > limit and chunk % 2 == 0 and chunk > 128:
-        chunk //= 2
+    cout = ci if transpose else co
+    chunk = _lane_chunk(
+        cout,
+        lambda c: kd * kh * kw * (ci * c if not transpose else c * co) * 2
+        <= limit,
+    )
 
     def one(ws):
         return pallas_conv3d_same_persample(
             x2, ws, compute_dtype=x2.dtype, out_dtype=x2.dtype,
-            interpret=interpret,
+            transpose_taps=transpose, interpret=interpret,
         )
 
-    if chunk == co:
+    if chunk == cout:
         return one(wn)
+    if transpose:
+        return jnp.concatenate(
+            [one(wn[..., i : i + chunk, :]) for i in range(0, cout, chunk)],
+            axis=-1,
+        )
     return jnp.concatenate(
-        [one(wn[..., i : i + chunk]) for i in range(0, co, chunk)], axis=-1
+        [one(wn[..., i : i + chunk]) for i in range(0, cout, chunk)], axis=-1
     )
 
 
@@ -490,10 +549,10 @@ def _ps_dw_chunked(x2, dyc, kd, kh, kw, interpret):
     from repmode_tpu.ops.pallas.conv3d import pallas_conv3d_dw_persample
 
     ci, co = x2.shape[-1], dyc.shape[-1]
-    chunk = ci
-    while kd * kh * kw * chunk * co * 4 > _DW_ACC_BUDGET \
-            and chunk % 2 == 0 and chunk > _DW_MIN_CHUNK:
-        chunk //= 2
+    chunk = _lane_chunk(
+        ci, lambda c: kd * kh * kw * c * co * 4 <= _DW_ACC_BUDGET,
+        _DW_MIN_CHUNK,
+    )
     if chunk == ci:
         return pallas_conv3d_dw_persample(
             x2, dyc, kd, kh, kw, compute_dtype=x2.dtype, interpret=interpret
@@ -533,9 +592,15 @@ def _merged_conv_ps_fwd(x2, wn, interpret):
 
 def _merged_conv_ps_bwd(interpret, res, dy):
     x2, wn = res
-    wt = jnp.flip(wn, axis=(1, 2, 3)).swapaxes(-1, -2)
     dyc = dy.astype(x2.dtype)
-    dx = _ps_conv_partitioned(interpret)(dyc, wt)
+    if os.environ.get("REPMODE_DX_TRANSPOSE", "1") != "0":
+        # dx via the transposed-tap kernel: reads the FORWARD wn (already
+        # resident from the fwd residuals) with reversed taps in-kernel —
+        # no flipped/io-transposed per-sample kernel copy in HBM
+        dx = _ps_convT_partitioned(interpret)(dyc, wn)
+    else:  # A/B escape: materialize flipped kernels (the r3 backward)
+        wt = jnp.flip(wn, axis=(1, 2, 3)).swapaxes(-1, -2)
+        dx = _ps_conv_partitioned(interpret)(dyc, wt)
     kd, kh, kw = wn.shape[1:4]
     dwn = _ps_dw_partitioned(kd, kh, kw, interpret)(x2, dyc)
     return dx, dwn.astype(wn.dtype)
@@ -562,11 +627,29 @@ def mode_conv_merged_s2d_pallas(
     merged-kernel FLOPs on the MXU.
 
     Geometry guard: Mosaic DMA slices the channel (lane) dim, which must be
-    128-aligned — narrow convs (enc1 conv1's 4-channel s2d input; the co=4
-    conv_out) fall back to the expert sum / tap-major paths.
+    128-aligned. Narrow-INPUT convs (enc1 conv1's 4-channel s2d input) take
+    the per-sample im2col GEMM instead (mode_conv_im2col_merged_s2d — still
+    merged-kernel FLOPs, MXU-shaped contraction); other misaligned
+    geometries fall back to the exact expert sum. The co=4 conv_out is
+    dispatched to the tap-major path before ever reaching here
+    (models/repmode.py MoDEConv).
     """
     co4 = 4 * g.shape[2]
     if x2.shape[-1] % 128 or co4 % 128:
+        # NEGATIVE RESULT (2026-08-20, bench_logs/bench_train_r4_ab.log):
+        # routing the narrow-input enc1 conv1 through the per-sample
+        # im2col GEMM measured +34.5 ms/step at full scale — the 377 MB
+        # patch materialization and its 45-slice additive-pad transpose
+        # cost more than the lane-starved expert-sum convs it replaces.
+        # Kept behind an opt-in env knob as the dated record.
+        if (
+            x2.shape[-1] <= 64 and co4 % 128 == 0
+            and os.environ.get("REPMODE_ENC1_IM2COL", "0") == "1"
+        ):
+            return mode_conv_im2col_merged_s2d(
+                x2, ek, g, compute_dtype=compute_dtype,
+                channel_sizes=channel_sizes,
+            )
         return mode_conv_expert_sum_s2d_domain(
             x2, ek, g, compute_dtype=compute_dtype,
             channel_sizes=channel_sizes,
@@ -634,30 +717,116 @@ def mode_conv_tapmajor_merged_s2d(
     to 128 (train-mode block measured ~30 ms/batch-8 net of the fetch tax,
     tools/bench_bwd.py 2026-08-17). Merging the gate-weighted bank into one
     per-sample kernel (the reference's routing(), RepMode.py:171-192; tiny
-    here: taps x 4Ci x 4Co per sample) and factorizing tap-major gives ONE
-    batched MXU GEMM with taps*4Co (=180) output lanes plus taps shifted
-    adds — the same lowering that took the re-parameterized eval conv_out
-    15.7 -> 14.2 ms/batch-16 (ARCHITECTURE.md §10), now with per-sample
-    kernels and gradients.
+    here: taps x 4Ci x 4Co per sample) and factorizing tap-major gives
+    batched MXU GEMMs plus shifted adds — the same lowering that took the
+    re-parameterized eval conv_out 15.7 -> 14.2 ms/batch-16
+    (ARCHITECTURE.md §10), now with per-sample kernels and gradients. The
+    kd depth taps are folded INTO the GEMM contraction (kd shifted reads of
+    one depth-padded buffer) so the shifted-add epilogue — and its
+    additive-pad VJP, the old 22 ms/step pad_add — only spans the kh*kw
+    H/W taps (see the inline comment below).
     """
     bank = s2d_expert_bank(ek, channel_sizes)  # (E,KD,KH,KW,4Ci,4Co)
     e, kd, kh, kw, ci4, co4 = bank.shape
-    t = kd * kh * kw
     n, d, h, wl, _ = x2.shape
 
     gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
     g4 = jnp.tile(gf, (1, 1, 4))  # (N,E,4Co), phase-major
     wt = jnp.einsum("neo,edhwio->ndhwio", g4, bank.astype(g4.dtype))
-    wt = wt.reshape(n, t, ci4, co4).transpose(0, 2, 1, 3).reshape(n, ci4, t * co4)
     if compute_dtype is not None:
         x2 = x2.astype(compute_dtype)
         wt = wt.astype(compute_dtype)
+    pet = (
+        jnp.promote_types(x2.dtype, jnp.float32)
+        if compute_dtype is None else None
+    )
+
+    # Depth-folded tap-major: contract the kd DEPTH taps inside the GEMMs
+    # (kd shifted reads of one depth-padded buffer, K=ci4 each) so only the
+    # kh*kw H/W taps remain in the shifted-add epilogue. z shrinks from
+    # taps*4Co to kh*kw*4Co lanes (conv_out: 180 -> 36) and — the real win —
+    # _tap_sum's additive-pad VJP builds a kh*kw-tap padded cotangent
+    # instead of a 45-tap one: profiled 22 ms -> ~4 ms/step at full scale
+    # (bench_logs/prof_r4_merged.log pad_add_fusion vs prof_r4_smallc2.log).
+    if os.environ.get("REPMODE_TAPMAJOR_DEPTHFOLD", "1") == "0":
+        # A/B escape: the r3 form — one GEMM to taps*4Co lanes, 45-tap sum
+        t = kd * kh * kw
+        wt3 = wt.reshape(n, t, ci4, co4).transpose(0, 2, 1, 3).reshape(
+            n, ci4, t * co4
+        )
+        z = jnp.einsum("ndhwc,nck->ndhwk", x2, wt3,
+                       preferred_element_type=pet)
+        return _tap_sum(z, kd, kh, kw, co4)
+
+    pd_ = (kd - 1) // 2
+    xp = jnp.pad(x2, ((0, 0), (pd_, pd_), (0, 0), (0, 0), (0, 0)))
+    z = None
+    for dz in range(kd):
+        wdz = wt[:, dz].transpose(0, 3, 1, 2, 4).reshape(
+            n, ci4, kh * kw * co4
+        )
+        zd = jnp.einsum(
+            "ndhwc,nck->ndhwk", xp[:, dz : dz + d], wdz,
+            preferred_element_type=pet,
+        )
+        z = zd if z is None else z + zd
+    return _tap_sum(z, 1, kh, kw, co4)
+
+
+def mode_conv_im2col_merged_s2d(
+    x2: jax.Array,
+    ek: ExpertKernels,
+    g: jax.Array,
+    *,
+    compute_dtype=None,
+    channel_sizes=None,
+) -> jax.Array:
+    """Per-sample merged MoDE conv for NARROW s2d inputs, as an im2col GEMM.
+
+    x2: (N,D,h',w',4*Ci_total) with 4*Ci < 128 (enc1 conv1: the 1-channel
+    volume's 4 s2d lanes), g: (N,E,Co) -> (N,D,h',w',4*Co) fp32/AMP.
+
+    The Pallas per-sample kernels need 128-aligned channel DMA, and the
+    expert sum runs five K=4 contractions here — the MXU's worst case (4 of
+    128 contraction lanes live; eval measured it at 6.8 ms/batch-16,
+    ARCHITECTURE.md §10). Instead: merge the gate-weighted bank into one
+    per-sample kernel (the reference's routing(), RepMode.py:171-192),
+    unfold the 45 taps of the NARROW input into patch channels
+    (taps*4Ci = 180 — a healthy contraction width), and run ONE batched
+    GEMM per sample. AD-safe: the patch build's transpose is 45 additive
+    pads of 4-lane slices summed into the narrow input — small, unlike the
+    wide-tensor pad_add this replaces on the conv_out side.
+    """
+    bank = s2d_expert_bank(ek, channel_sizes)  # (E,KD,KH,KW,4Ci,4Co)
+    e, kd, kh, kw, ci4, co4 = bank.shape
+    n, d, h, wl, _ = x2.shape
+
+    gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
+    g4 = jnp.tile(gf, (1, 1, 4))  # (N,E,4Co) phase-major
+    wn = jnp.einsum("neo,edhwio->ndhwio", g4, bank.astype(g4.dtype))
+    wn = wn.reshape(n, kd * kh * kw * ci4, co4)  # tap-major rows, ch minor
+    if compute_dtype is not None:
+        x2 = x2.astype(compute_dtype)
+        wn = wn.astype(compute_dtype)
+
+    pdz, pdy, pdx = (kd - 1) // 2, (kh - 1) // 2, (kw - 1) // 2
+    xp = jnp.pad(
+        x2, ((0, 0), (pdz, pdz), (pdy, pdy), (pdx, pdx), (0, 0))
+    )
+    parts = []
+    for dz in range(kd):
+        for dy in range(kh):
+            for dx in range(kw):
+                parts.append(
+                    xp[:, dz : dz + d, dy : dy + h, dx : dx + wl, :]
+                )
+    pt = jnp.concatenate(parts, axis=-1)  # (N,D,h,w, taps*4Ci)
     z = jnp.einsum(
-        "ndhwc,nck->ndhwk", x2, wt,
+        "ndhwc,nck->ndhwk", pt, wn,
         preferred_element_type=jnp.promote_types(x2.dtype, jnp.float32)
         if compute_dtype is None else None,
     )
-    return _tap_sum(z, kd, kh, kw, co4)
+    return z.astype(jnp.promote_types(z.dtype, jnp.float32))
 
 
 def im2col_patches(x: jax.Array, k: int) -> jax.Array:

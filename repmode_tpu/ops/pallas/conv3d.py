@@ -327,9 +327,17 @@ def pallas_conv3d_dpad(
 
 
 def _conv_kernel_ps(x_hbm, w_ref, out_ref, x_vmem, sems, *, kd, kh, kw, th,
-                    w_len, ci, co, compute_dtype, out_dtype):
+                    w_len, ci, co, compute_dtype, out_dtype,
+                    transpose=False):
     """Per-SAMPLE-weight variant of _conv_kernel: w_ref block is sample n's
-    kernel (the gate-merged MoDE kernel). Same double-buffered halo slab."""
+    kernel (the gate-merged MoDE kernel). Same double-buffered halo slab.
+
+    transpose=True computes the TRANSPOSED conv (the dx backward): the
+    slab holds the padded cotangent dy (ci = Co of the stored kernel), the
+    taps are read spatially REVERSED and each matmul contracts dy against
+    the kernel's OUTPUT axis — dx = conv(dy, flip(w).swap(io)) without ever
+    materializing the flipped per-sample kernels in HBM (they cost a full
+    (N,45,Ci,Co) write+read per MoDE conv per step in the old backward)."""
     n = pl.program_id(0)
     d = pl.program_id(1)
     h = pl.program_id(2)
@@ -367,8 +375,21 @@ def _conv_kernel_ps(x_hbm, w_ref, out_ref, x_vmem, sems, *, kd, kh, kw, th,
             for dx in range(kw):
                 a = x_vmem[slot, dz, dy : dy + th, dx : dx + w_len, :]
                 a = a.reshape(th * w_len, ci).astype(compute_dtype)
-                wk = w_ref[0, dz, dy, dx].astype(compute_dtype)
-                acc = acc + jnp.dot(a, wk, preferred_element_type=jnp.float32)
+                if transpose:
+                    # reversed tap of the FORWARD kernel, contracted on its
+                    # output axis: acc += a @ w[rev_tap].T (a carries dy)
+                    wk = w_ref[
+                        0, kd - 1 - dz, kh - 1 - dy, kw - 1 - dx
+                    ].astype(compute_dtype)
+                    acc = acc + jax.lax.dot_general(
+                        a, wk, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    wk = w_ref[0, dz, dy, dx].astype(compute_dtype)
+                    acc = acc + jnp.dot(
+                        a, wk, preferred_element_type=jnp.float32
+                    )
     out_ref[0, 0] = acc.reshape(th, w_len, co).astype(out_dtype)
 
 
@@ -379,6 +400,7 @@ def pallas_conv3d_same_persample(
     h_tile: int = 0,
     compute_dtype=jnp.bfloat16,
     out_dtype=jnp.bfloat16,
+    transpose_taps: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """'same' conv with a DIFFERENT kernel per sample.
@@ -391,10 +413,20 @@ def pallas_conv3d_same_persample(
     This makes the reference's per-sample routing() merge (RepMode.py:
     171-208) executable at merged-kernel FLOPs (45 s2d taps vs the expert
     sum's 145) on the MXU.
+
+    transpose_taps=True: x is the cotangent dy with Co channels and the
+    result is dx with Ci channels — the kernel reads w's taps reversed and
+    contracts on the output axis (see _conv_kernel_ps). w keeps its
+    FORWARD (N,kD,kH,kW,Ci,Co) layout either way.
     """
-    n, d, h, wl, ci = x.shape
-    wn, kd, kh, kw, wci, co = w.shape
-    assert wn == n and wci == ci, (w.shape, x.shape)
+    n, d, h, wl, cin = x.shape
+    wn, kd, kh, kw, wci, wco = w.shape
+    if transpose_taps:
+        assert wn == n and wco == cin, (w.shape, x.shape)
+        cout = wci
+    else:
+        assert wn == n and wci == cin, (w.shape, x.shape)
+        cout = wco
     assert kh % 2 == 1 and kw % 2 == 1
     pad_d = (kd - 1) // 2
     pad_h = (kh - 1) // 2
@@ -403,15 +435,15 @@ def pallas_conv3d_same_persample(
     if h_tile <= 0:
         # per-sample weights are a revisited window — assume Mosaic
         # double-buffers it (as measured for the dW accumulator)
-        budget = 16 * 1024 * 1024 - 2 * kd * kh * kw * ci * co * 2 \
+        budget = 16 * 1024 * 1024 - 2 * kd * kh * kw * wci * wco * 2 \
             - 2 * 1024 * 1024
         h_tile = 1
         for cand in range(h, 0, -1):
             if h % cand:
                 continue
             footprint = (
-                2 * kd * (cand + kh - 1) * wpad * ci * 2
-                + 2 * cand * wl * co * 4
+                2 * kd * (cand + kh - 1) * wpad * cin * 2
+                + 2 * cand * wl * cout * 4
             )
             if footprint <= budget:
                 h_tile = cand
@@ -427,8 +459,9 @@ def pallas_conv3d_same_persample(
 
     grid = (n, d, h // h_tile)
     kernel = functools.partial(
-        _conv_kernel_ps, kd=kd, kh=kh, kw=kw, th=h_tile, w_len=wl, ci=ci,
-        co=co, compute_dtype=compute_dtype, out_dtype=out_dtype,
+        _conv_kernel_ps, kd=kd, kh=kh, kw=kw, th=h_tile, w_len=wl, ci=cin,
+        co=cout, compute_dtype=compute_dtype, out_dtype=out_dtype,
+        transpose=transpose_taps,
     )
     return pl.pallas_call(
         kernel,
@@ -436,22 +469,22 @@ def pallas_conv3d_same_persample(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, kd, kh, kw, ci, co),
+                (1, kd, kh, kw, wci, wco),
                 lambda n_, d_, h_: (n_, 0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, h_tile, wl, co), lambda n_, d_, h_: (n_, d_, h_, 0, 0),
+            (1, 1, h_tile, wl, cout), lambda n_, d_, h_: (n_, d_, h_, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, d, h, wl, co), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n, d, h, wl, cout), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, kd, h_tile + kh - 1, wpad, ci), compute_dtype),
+            pltpu.VMEM((2, kd, h_tile + kh - 1, wpad, cin), compute_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * d * h * wl * kd * kh * kw * ci * co,
+            flops=2 * n * d * h * wl * kd * kh * kw * cin * cout,
             bytes_accessed=x.size * 2 + w.size * 2,
             transcendentals=0,
         ),
