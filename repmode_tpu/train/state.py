@@ -95,15 +95,25 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return flat_adam(cfg.train.lr, b1=0.9, b2=0.999, eps=1e-8)
 
 
-def create_train_state(cfg: Config, rng: jax.Array) -> TrainState:
-    """Initialize model params + optimizer (reference _init_model, fnet_model.py:48-55)."""
+def create_train_state(
+    cfg: Config,
+    rng: jax.Array,
+    tx: "optax.GradientTransformation | None" = None,
+) -> TrainState:
+    """Initialize model params + optimizer (reference _init_model, fnet_model.py:48-55).
+
+    `tx` overrides the configured optimizer; it MUST match the `tx` later
+    given to make_train_step — opt_state layout is transform-specific
+    (flat_adam's 3-field buffer vs optax chains), and a mismatch throws at
+    the first update.
+    """
     net = build_model(cfg)
     d, h, w = cfg.train.patch_size
     x = jnp.zeros((1, d, h, w, cfg.model.in_channels), jnp.float32)
     t = jnp.zeros((1,), jnp.int32)
     init = jax.jit(functools.partial(net.init, train=True))
     variables = init({"params": rng}, x, t)
-    tx = make_optimizer(cfg)
+    tx = tx if tx is not None else make_optimizer(cfg)
     return TrainState(
         params=variables["params"],
         batch_stats=variables["batch_stats"],

@@ -33,9 +33,34 @@ def pytest_addoption(parser):
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running (needs --run-slow)")
+    config.addinivalue_line(
+        "markers",
+        "heavy: virtual-mesh / whole-experiment tests dominated by XLA "
+        "compiles (minutes each on CPU); deselect with -m 'not heavy' "
+        "for a quick pass — scripts/run/tests.sh wraps both modes",
+    )
+
+
+# Modules whose tests jit whole train/eval programs (often over the virtual
+# 8-device mesh) — the compile-time heavyweights of the suite. Tagged
+# centrally so `-m "not heavy"` gives a fast inner-loop pass without
+# per-file marker drift.
+_HEAVY_MODULES = {
+    "test_cli_evaluate",
+    "test_distributed",
+    "test_distributed_train_step",
+    "test_e2e",
+    "test_ingest_e2e",
+    "test_parity_fullscale",
+    "test_train_step",
+    "test_torch_parity",
+}
 
 
 def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _HEAVY_MODULES:
+            item.add_marker(pytest.mark.heavy)
     if config.getoption("--run-slow"):
         return
     skip = pytest.mark.skip(reason="slow: pass --run-slow to run")

@@ -256,6 +256,35 @@ class TestPerSampleKernels:
                 np.asarray(q), np.asarray(p), rtol=1e-5, atol=1e-6
             )
 
+    @pytest.mark.parametrize("dx_transpose", ["1", "0"])
+    def test_merged_op_dx_escape_legs_match(self, rng, monkeypatch, dx_transpose):
+        """Both backward legs of merged_conv_persample must match plain-AD
+        gradients: the default in-kernel transposed-tap dx AND the
+        REPMODE_DX_TRANSPOSE=0 escape (the r3 flipped/io-transposed-kernel
+        materialization, ops/mode.py _merged_conv_ps_bwd). The escape is a
+        live A/B dispatch branch; without this parametrization a regression
+        in the default-off leg would go unnoticed."""
+        from repmode_tpu.ops.mode import merged_conv_persample
+
+        monkeypatch.setenv("REPMODE_DX_TRANSPOSE", dx_transpose)
+        n, d, h, w, ci, co = 2, 3, 8, 8, 8, 8
+        x = arr(rng, (n, d, h, w, ci))
+        wk = arr(rng, (n, 5, 3, 3, ci, co))
+
+        def loss_ref(xx, ww):
+            y = jax.vmap(lambda xi, wi: conv3d_same(xi[None], wi)[0])(xx, ww)
+            return jnp.sum(y ** 2)
+
+        def loss(xx, ww):
+            return jnp.sum(merged_conv_persample(xx, ww, True) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, wk)
+        g = jax.grad(loss, argnums=(0, 1))(x, wk)
+        for p, q in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+            np.testing.assert_allclose(
+                np.asarray(q), np.asarray(p), rtol=1e-4, atol=1e-5
+            )
+
     def test_chunk_sizes_stay_lane_multiples_at_non_pow2_widths(
         self, rng, monkeypatch
     ):

@@ -195,11 +195,17 @@ class TestTrainS2d:
                 atol=1e-5 * (1.0 + np.abs(p).max()),
             )
 
+    @pytest.mark.parametrize("depthfold", ["1", "0"])
     @pytest.mark.parametrize("channel_sizes", [None, (2, 3)])
-    def test_tapmajor_merged_s2d_matches_expert_sum(self, rng, channel_sizes):
+    def test_tapmajor_merged_s2d_matches_expert_sum(
+        self, rng, channel_sizes, depthfold, monkeypatch
+    ):
         """The small-co tap-major merged path (production conv_out lowering,
         models/repmode.py MoDEConv out_chan<=4) equals the expert sum —
-        forward and gradients."""
+        forward and gradients. Parametrized over REPMODE_TAPMAJOR_DEPTHFOLD
+        so the default depth-folded GEMM AND the =0 A/B escape leg (the r3
+        single-GEMM 45-tap form) both stay correct."""
+        monkeypatch.setenv("REPMODE_TAPMAJOR_DEPTHFOLD", depthfold)
         from repmode_tpu.ops.mode import (
             ExpertKernels,
             gate_logits_to_weights,

@@ -93,13 +93,13 @@ class TestDataParallel:
         sgd = optax.sgd(0.1)
 
         # single device
-        state1 = create_train_state(cfg, jax.random.PRNGKey(0))
+        state1 = create_train_state(cfg, jax.random.PRNGKey(0), tx=sgd)
         step1 = make_train_step(cfg, donate=False, tx=sgd)
         out1, m1 = step1(state1, batch)
 
         # 8-device mesh
         mesh = make_mesh(8)
-        state8 = create_train_state(cfg, jax.random.PRNGKey(0))
+        state8 = create_train_state(cfg, jax.random.PRNGKey(0), tx=sgd)
         state8 = replicate(mesh, state8)
         step8 = make_train_step(cfg, donate=False, tx=sgd)
         sharded = shard_batch(mesh, batch)

@@ -98,6 +98,20 @@ def main():
         "batch": n, "patch": list(patch), "remat": args.remat,
         "train_impl": args.train_impl,
         "device": jax.devices()[0].device_kind,
+        # the dispatch knobs this number was measured under (default-on
+        # harvest legs + the flat-buffer Adam; ARCHITECTURE.md §12)
+        "env": {
+            k: os.environ.get(k, "<default=1>" if k != "REPMODE_ENC1_IM2COL"
+               else "<default=0>")
+            for k in (
+                "REPMODE_FLAT_ADAM", "REPMODE_DX_TRANSPOSE",
+                "REPMODE_TAPMAJOR_DEPTHFOLD", "REPMODE_ENC1_IM2COL",
+            )
+        },
+        "ab_chain": (
+            "bench_logs/bench_train_r4_ab.log + bench_logs/README.md "
+            "(per-flag A/B windows); ARCHITECTURE.md §12 (fix-by-fix chain)"
+        ),
     }
 
     if args.decomp:
@@ -156,6 +170,27 @@ def main():
     peak = peaks.get(rec["device"])
     rec["device_peak_bf16_tflops"] = peak
     rec["mfu"] = round(tflops / peak, 4) if peak else None
+
+    # Derived V100 training baseline, same analytic style as BASELINE.md's
+    # inference derivation (the reference publishes no numbers). Training
+    # FLOPs/voxel = 3 x 2.084 MFLOP (fwd+dx+dW, merged-kernel cost — the
+    # reference's train path also convolves one merged 5^3 kernel per
+    # sample, RepMode.py:204-208), no tiling redundancy. The reference
+    # trains under CUDA AMP (fnet_model.py:104-113) so V100 tensor cores
+    # apply: 125 TFLOP/s fp16 peak x an assumed 20% [10%, 35%] wall
+    # efficiency (batch-1 per-sample conv3d calls in a Python loop, 19
+    # routing() einsum merges per step, GradScaler sync; narrow-channel
+    # NCDHW 3D convs sit below cuDNN's fp16 sweet spot) = 25 TFLOP/s
+    # effective -> 4.0 Mvox/s central, range [2.0, 7.0].
+    v100_train_voxps = 4.0e6
+    rec["baseline_v100_train_voxps"] = v100_train_voxps
+    rec["baseline_v100_train_range"] = [2.0e6, 7.0e6]
+    rec["vs_baseline_train"] = round((vox / piped) / v100_train_voxps, 3)
+    rec["baseline_method"] = (
+        "analytic: 26.2 TFLOP/step (3x fwd, utils/flops.py) / (125 fp16 "
+        "TFLOP/s x 0.20 assumed AMP wall efficiency); see BASELINE.md for "
+        "the inference-side anchor of the efficiency band"
+    )
     print(json.dumps(rec))
     if args.out:
         with open(args.out, "w") as f:

@@ -127,10 +127,16 @@ def train_reference(batches, val, mult_chan, lr, perturb_ulp=False,
     return init_sd, losses, per_task
 
 
-def train_ours(batches, val, init_sd, mult_chan, lr):
+def train_ours(batches, val, init_sd, mult_chan, lr, device="cpu"):
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # device == "tpu": leave the default backend (the real chip). fp32
+    # matmuls/convs on TPU default to one-pass bf16 MXU execution, which
+    # would inject ~1e-3 per-op noise into the controlled comparison —
+    # force the 'highest' (fp32-accurate multi-pass) lowering for parity.
+    jax.config.update("jax_default_matmul_precision", "highest")
     sys.path.insert(0, REPO)
     import jax.numpy as jnp
 
@@ -187,6 +193,12 @@ def main():
                          "chaos-floor estimate (each flips a different "
                          "weight); >=3 gives a spread, not a point")
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--device", choices=("cpu", "tpu"), default="cpu",
+                    help="where OUR side trains (the torch reference always "
+                         "runs CPU here — no CUDA in this environment). "
+                         "'tpu' exercises the real shipping hardware path "
+                         "with 'highest' matmul precision; the chaos-floor "
+                         "yardstick absorbs the cross-ISA fp differences.")
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY_TRAINING.json"))
     ap.add_argument("--noise-floor", action="store_true",
                     help="also train the reference a second time from an "
@@ -289,7 +301,8 @@ def main():
 
     t0 = time.time()
     our_losses, our_val = train_ours(batches, val, init_sd,
-                                     args.mult_chan, args.lr)
+                                     args.mult_chan, args.lr,
+                                     device=args.device)
     t_ours = time.time() - t0
 
     rel = {
@@ -304,6 +317,7 @@ def main():
         "recipe": "Adam(lr), MSE, BN momentum 0.1, fp32, identical init + "
                   "batches (reference fnet_model.py:55,104-113 minus "
                   "CUDA-only AMP)",
+        "ours_device": args.device,
         "reference_final_train_loss": ref_losses[-1],
         "ours_final_train_loss": our_losses[-1],
         "reference_val_mse_per_task": ref_val,
