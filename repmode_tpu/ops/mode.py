@@ -512,9 +512,11 @@ def _ps_conv_chunked(x2, wn, interpret, transpose=False,
 
     n, kd, kh, kw, ci, co = wn.shape
     cout = ci if transpose else co
+    isz = jnp.dtype(wn.dtype).itemsize  # weight block bytes track the
+    #                                     compute dtype (fp32 doubles them)
     chunk = _lane_chunk(
         cout,
-        lambda c: kd * kh * kw * (ci * c if not transpose else c * co) * 2
+        lambda c: kd * kh * kw * (ci * c if not transpose else c * co) * isz
         <= limit,
     )
 

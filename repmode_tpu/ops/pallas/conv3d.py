@@ -432,17 +432,20 @@ def pallas_conv3d_same_persample(
     pad_h = (kh - 1) // 2
     pad_w = (kw - 1) // 2
     wpad = -(-(wl + kw - 1) // 8) * 8
+    isz = jnp.dtype(compute_dtype).itemsize  # bf16=2, fp32=4: the budget
+    #        math must track the actual slab/weight dtype (a hardcoded *2
+    #        OOM'd scoped VMEM on fp32 parity runs at 256-ch s2d levels)
     if h_tile <= 0:
         # per-sample weights are a revisited window — assume Mosaic
         # double-buffers it (as measured for the dW accumulator)
-        budget = 16 * 1024 * 1024 - 2 * kd * kh * kw * wci * wco * 2 \
+        budget = 16 * 1024 * 1024 - 2 * kd * kh * kw * wci * wco * isz \
             - 2 * 1024 * 1024
         h_tile = 1
         for cand in range(h, 0, -1):
             if h % cand:
                 continue
             footprint = (
-                2 * kd * (cand + kh - 1) * wpad * cin * 2
+                2 * kd * (cand + kh - 1) * wpad * cin * isz
                 + 2 * cand * wl * cout * 4
             )
             if footprint <= budget:
@@ -574,6 +577,7 @@ def pallas_conv3d_dw_persample(
     pad_h = (kh - 1) // 2
     pad_w = (kw - 1) // 2
     wpad = -(-(wl + kw - 1) // 8) * 8
+    isz = jnp.dtype(compute_dtype).itemsize
     if h_tile <= 0:
         # the fp32 accumulator window is double-buffered by Mosaic (2x
         # kd*kh*kw*ci*co*4 on the scoped-vmem stack, measured: 16.23M at
@@ -585,8 +589,8 @@ def pallas_conv3d_dw_persample(
             if h % cand:
                 continue
             footprint = (
-                2 * kd * (cand + kh - 1) * wpad * ci * 2
-                + 2 * cand * wl * co * 2
+                2 * kd * (cand + kh - 1) * wpad * ci * isz
+                + 2 * cand * wl * co * isz
             )
             if footprint <= budget:
                 h_tile = cand

@@ -256,6 +256,41 @@ class TestPerSampleKernels:
                 np.asarray(q), np.asarray(p), rtol=1e-5, atol=1e-6
             )
 
+    def test_fp32_slab_budget_tracks_itemsize(self, monkeypatch):
+        """The auto h_tile sizing must use the COMPUTE dtype's itemsize:
+        with the old hardcoded bf16 (*2) math, fp32 parity runs at 256-ch
+        s2d levels picked slabs 2x too big and OOM'd the 16 MB scoped-VMEM
+        window at TPU compile (mult_chan-16 parity run, 2026-08-20). Spy on
+        pallas_call's scratch shapes and check the double-buffered slab +
+        weight block + out tile fit the budget model at fp32."""
+        from repmode_tpu.ops.pallas import conv3d as pc
+
+        captured = {}
+        orig = pc.pl.pallas_call
+
+        def spy(kernel, **kw):
+            captured["scratch"] = kw.get("scratch_shapes")
+            captured["in_specs"] = kw.get("in_specs")
+            return orig(kernel, **kw)
+
+        monkeypatch.setattr(pc.pl, "pallas_call", spy)
+        from repmode_tpu.ops.mode import merged_conv_persample
+
+        n, d, h, wl, c = 2, 4, 4, 8, 256
+        x = jnp.zeros((n, d, h, wl, c), jnp.float32)
+        wk = jnp.zeros((n, 5, 3, 3, c, c), jnp.float32)
+        y = merged_conv_persample(x, wk, True)  # production chunked entry
+        assert y.shape == (n, d, h, wl, c)
+        slab = captured["scratch"][0]
+        slab_bytes = int(np.prod(slab.shape)) * jnp.dtype(slab.dtype).itemsize
+        wblock = captured["in_specs"][1].block_shape
+        wblock_bytes = 2 * int(np.prod(wblock)) * 4  # double-buffered fp32
+        h_tile = slab.shape[2] - 2
+        out_bytes = 2 * h_tile * wl * int(wblock[-1]) * 4
+        assert slab_bytes + wblock_bytes + out_bytes <= 16 * 1024 * 1024, (
+            slab.shape, wblock, slab_bytes, wblock_bytes, out_bytes
+        )
+
     @pytest.mark.parametrize("dx_transpose", ["1", "0"])
     def test_merged_op_dx_escape_legs_match(self, rng, monkeypatch, dx_transpose):
         """Both backward legs of merged_conv_persample must match plain-AD

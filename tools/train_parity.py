@@ -146,7 +146,13 @@ def train_ours(batches, val, init_sd, mult_chan, lr, device="cpu"):
     from repmode_tpu.train.step import make_eval_loss_step, make_train_step
 
     cfg = Config(
-        model=ModelConfig(mult_chan=mult_chan, depth=4),  # shipping defaults
+        # train_impl pinned to the exact expert sum: the controlled fp32
+        # comparison wants XLA's fp32 conv semantics under 'highest'
+        # precision on every backend (the merged-Pallas path is the bf16
+        # production lowering; its equality to expert_sum is separately
+        # property-tested in tests/test_pallas_kernels.py)
+        model=ModelConfig(mult_chan=mult_chan, depth=4,
+                          train_impl="expert_sum"),
         data=DataConfig(adopted_datasets=tuple(TASKS)),
         train=TrainConfig(lr=lr, compute_dtype="float32",
                           patch_size=PATCH, batch_size=batches[0][0].shape[0]),
