@@ -167,9 +167,12 @@ def main():
 
     conv = make_kernel()
 
-    # correctness vs the exact expert sum
+    # correctness vs the exact expert sum (bf16 compute on both sides)
     y_ref = np.asarray(
-        mode_conv_expert_sum_s2d_domain(x2, ek, g), np.float32
+        mode_conv_expert_sum_s2d_domain(
+            x2, ek, g, compute_dtype=jnp.bfloat16
+        ),
+        np.float32,
     )
     y = np.asarray(
         conv(x2, wflat, interpret=args.interpret), np.float32
