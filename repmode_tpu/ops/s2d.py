@@ -220,12 +220,18 @@ def downsample_s2d_domain(
 ) -> jax.Array:
     """s2d-domain downsample: (N,D,h',w',4C) -> native next level (N,D/2,h',w',Co).
 
-    Lowered as two depth-phase matmuls accumulated (x2[:, ::2] @ w2[0] +
-    x2[:, 1::2] @ w2[1]) instead of a stride-(2,1,1) conv: XLA's strided-conv
-    lowering measured 4.5 TFLOPS / 71 GB/s at the L1 shape (tools/
-    bench_edges.py, 2026-08-17); the strided depth slices are cheap
-    (outermost axis) and the matmuls hit the MXU. AD-safe: slices and einsum
-    differentiate cleanly.
+    Lowered as ONE matmul contracting the (depth-phase, channel) pair over a
+    free reshape view — out[n,d,h,w,o] = sum_{a,c} x2[n,2d+a,h,w,c] W[a,c,o].
+    Two earlier lowerings measured worse at the L1 shape (tools/
+    bench_edges.py): XLA's stride-(2,1,1) conv (4.5 TFLOPS / 71 GB/s,
+    2026-08-17) and two strided-depth-slice matmuls accumulated
+    (x2[:, ::2] @ w2[0] + x2[:, 1::2] @ w2[1] — 3.4 TFLOPS / 53 GB/s =
+    7% of HBM peak, re-measured 2026-08-20: the strided slices force
+    relayout copies in both the forward and its scatter-add VJP). The
+    (D) -> (D/2, 2) split is a contiguous view, so this form reads x2
+    exactly once with no strided access; the contraction K doubles to
+    2*4C, which the MXU prefers anyway. AD-safe: the VJP is one dot plus
+    the inverse free reshape.
 
     trim_d_halo > 0 consumes a depth-padded tensor (the Pallas chain keeps
     activations D-padded, models/reparam.plain_forward_s2d_pallas) by
@@ -244,11 +250,11 @@ def downsample_s2d_domain(
         jnp.promote_types(x2.dtype, jnp.float32)
         if compute_dtype is None else None
     )
-    wm = w2.reshape(2, w2.shape[-2], w2.shape[-1])  # (2, 4C, Co)
+    n, d, hh, ww, c4 = x2.shape
+    wm = w2.reshape(2, c4, w2.shape[-1])  # (2, 4C, Co)
+    xv = x2.reshape(n, d // 2, 2, hh, ww, c4)
     return jnp.einsum(
-        "ndhwc,co->ndhwo", x2[:, 0::2], wm[0], preferred_element_type=pet
-    ) + jnp.einsum(
-        "ndhwc,co->ndhwo", x2[:, 1::2], wm[1], preferred_element_type=pet
+        "ndahwc,aco->ndhwo", xv, wm, preferred_element_type=pet
     )
 
 

@@ -138,6 +138,16 @@ def main():
          lambda x, w: space_to_depth_hw(
              upsample2x_convt(x, w, compute_dtype=bf)),
          t((B, 8, 32, 32, 128)), t((2, 2, 2, 128, 64)))
+    # the PRODUCTION decoder routes (models/reparam.plain_forward_s2d):
+    # in-domain upsamples that never materialize the narrow native tensor
+    from repmode_tpu.ops.s2d import upsample_s2d_to_s2d, upsample_to_s2d
+
+    case("up_L2toL1_prod(s2d->s2d)", 2 * (B * 32 * 128 * 128) * 64 * 32 // 8,
+         lambda x, w: upsample_s2d_to_s2d(x, w, compute_dtype=bf),
+         t((B, 16, 32, 32, 256)), t((2, 2, 2, 64, 32)))
+    case("up_L3toL2_prod(native->s2d)", 2 * (B * 16 * 64 * 64) * 128 * 64 // 8,
+         lambda x, w: upsample_to_s2d(x, w, compute_dtype=bf),
+         t((B, 8, 32, 32, 128)), t((2, 2, 2, 128, 64)))
     case("down_L3_native", 2 * (B * 4 * 16 * 16) * 8 * 128 * 256,
          lambda x, w: downsample2x_conv(x, w, compute_dtype=bf),
          t((B, 8, 32, 32, 128)), t((2, 2, 2, 128, 256)))
