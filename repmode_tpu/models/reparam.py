@@ -19,6 +19,7 @@ parameter pytree from trained flax variables for a given task id.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -35,6 +36,7 @@ from repmode_tpu.ops.mode import ExpertKernels, expert_bank, gate_logits_to_weig
 from repmode_tpu.ops.s2d import (
     depth_to_space_hw,
     downsample_s2d_domain,
+    downsample_s2d_to_s2d,
     s2d_bias,
     s2d_conv_kernel,
     s2d_down_kernel,
@@ -209,16 +211,35 @@ def plain_forward_s2d(
 
     skips = {}
     h = x
+    h_in_s2d = False
     for i in range(1, cfg.depth + 1):
         blk = plain[f"encoder_block{i}"]
         if i in s2d:
-            h2 = space_to_depth_hw(h)
+            h2 = h if h_in_s2d else space_to_depth_hw(h)
             skip2 = run_subnet(h2, blk)  # s2d-domain kernels: same conv call
             skips[i] = skip2
-            h = jax.nn.relu(
-                downsample_s2d_domain(skip2, blk["down_w"], compute_dtype=cdt)
-                + blk["down_b"]
-            )
+            if (i + 1) in s2d and os.environ.get(
+                "REPMODE_EVAL_DOWNS2D", "1"
+            ) == "1":
+                # the next level is s2d too: emit its s2d domain straight
+                # from the downsample matmul (full 4Co lanes, no
+                # half-lane native write + no s2d rearrange pass);
+                # REPMODE_EVAL_DOWNS2D=0 is the A/B escape
+                h = jax.nn.relu(
+                    downsample_s2d_to_s2d(
+                        skip2, blk["down_w"], compute_dtype=cdt
+                    )
+                    + s2d_bias(blk["down_b"])
+                )
+                h_in_s2d = True
+            else:
+                h = jax.nn.relu(
+                    downsample_s2d_domain(
+                        skip2, blk["down_w"], compute_dtype=cdt
+                    )
+                    + blk["down_b"]
+                )
+                h_in_s2d = False
         else:
             skip = run_subnet(h, blk)
             skips[i] = skip
@@ -226,6 +247,7 @@ def plain_forward_s2d(
                 downsample2x_conv(skip, blk["down_w"], compute_dtype=cdt)
                 + blk["down_b"]
             )
+            h_in_s2d = False
 
     h = run_subnet(h, plain["bottle_block"])
 
@@ -240,8 +262,25 @@ def plain_forward_s2d(
                 up_fn(h, blk["up_w"], compute_dtype=cdt)
                 + s2d_bias(blk["up_b"])
             )
-            cat = jnp.concatenate([skips[i], up2], axis=-1)
-            h = run_subnet(cat, blk)
+            if os.environ.get("REPMODE_EVAL_SPLITCAT", "1") == "1":
+                # conv(cat(a,b), W) == conv(a, W[:ca]) + conv(b, W[ca:]):
+                # skip materializing the 2x-lane concat; conv1 reads each
+                # half in place and the add fuses into the epilogue.
+                # Measured 14.87 -> 15.22 Mvox/s on the full headline
+                # (2026-08-20); REPMODE_EVAL_SPLITCAT=0 is the A/B escape.
+                ca = skips[i].shape[-1]
+                w1 = blk["conv1_w"]
+                y1 = jax.nn.relu(
+                    conv3d_same(skips[i], w1[:, :, :, :ca],
+                                compute_dtype=cdt)
+                    + conv3d_same(up2, w1[:, :, :, ca:],
+                                  compute_dtype=cdt)
+                    + blk["conv1_b"]
+                )
+                h = cbr(y1, blk["conv2_w"], blk["conv2_b"])
+            else:
+                cat = jnp.concatenate([skips[i], up2], axis=-1)
+                h = run_subnet(cat, blk)
             h_is_s2d = True
         else:
             if h_is_s2d:  # contiguous-from-1 levels make this unreachable,

@@ -258,6 +258,43 @@ def downsample_s2d_domain(
     )
 
 
+def downsample_s2d_to_s2d(
+    x2: jax.Array, w2: jax.Array, *, compute_dtype=None, trim_d_halo: int = 0
+) -> jax.Array:
+    """s2d-domain downsample emitting the NEXT level's s2d domain directly.
+
+    When level i+1 also executes in the s2d domain, the native
+    (N,D/2,h',w',Co) downsample output is immediately re-space_to_depth'd
+    (half-lane write + a relayout pass). Since the downsample contraction is
+    pointwise over (h',w'), regrouping its OUTPUT phases is a free re-view
+    of its INPUT: split h'=(h'',py), w'=(w'',px) (contiguous views) and emit
+    lanes (py,px,Co) phase-major — the exact s2d layout level i+1 consumes.
+    One matmul, full 4Co output lanes, zero rearrange passes.
+
+    x2: (N,D,h',w',4C) phase-major -> (N,D/2,h'/2,w'/2,4Co) phase-major.
+    Bias: use s2d_bias(down_b). Exact (same contractions, reassociation
+    aside); AD-safe (einsum over free reshapes).
+    """
+    from repmode_tpu.ops.conv3d import _cast
+
+    x2 = _cast(x2, compute_dtype)
+    w2 = _cast(w2, compute_dtype)
+    if trim_d_halo:
+        x2 = x2[:, trim_d_halo:-trim_d_halo]
+    pet = (
+        jnp.promote_types(x2.dtype, jnp.float32)
+        if compute_dtype is None else None
+    )
+    n, d, hh, ww, c4 = x2.shape
+    co = w2.shape[-1]
+    wm = w2.reshape(2, c4, co)
+    xv = x2.reshape(n, d // 2, 2, hh // 2, 2, ww // 2, 2, c4)
+    y = jnp.einsum(
+        "ndahpwxc,aco->ndhwpxo", xv, wm, preferred_element_type=pet
+    )
+    return y.reshape(n, d // 2, hh // 2, ww // 2, 4 * co)
+
+
 def upsample_s2d_to_s2d(
     x2: jax.Array, w: jax.Array, *, compute_dtype=None
 ) -> jax.Array:

@@ -42,8 +42,15 @@ def test_default_levels():
     assert default_s2d_levels(ModelConfig(mult_chan=2, depth=4)) == (1, 2, 3, 4)
 
 
+@pytest.mark.parametrize("knobs", ["1", "0"])
 @pytest.mark.parametrize("levels", [(1,), (1, 2), (1, 2, 3)])
-def test_s2d_forward_parity(net_vars, rng, levels):
+def test_s2d_forward_parity(net_vars, rng, levels, knobs, monkeypatch):
+    """Both legs of the eval-graph knobs: the default forms (decoder
+    concat split into two convs; encoder downsample emitting the next
+    s2d level directly) and the =0 escapes (materialized concat;
+    native-layout downsample + explicit space_to_depth)."""
+    monkeypatch.setenv("REPMODE_EVAL_SPLITCAT", knobs)
+    monkeypatch.setenv("REPMODE_EVAL_DOWNS2D", knobs)
     cfg, variables = net_vars
     x = jnp.asarray(rng.standard_normal((2, 8, 16, 16, 1)).astype(np.float32))
     plain = reparameterize(variables, cfg.model, NUM_TASKS, 0)
