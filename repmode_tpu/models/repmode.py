@@ -22,6 +22,7 @@ checkpoints map 1:1 (compat/torch_import.py).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -44,8 +45,10 @@ from repmode_tpu.ops.norm import batch_norm_apply, batch_norm_train
 from repmode_tpu.ops.s2d import (
     depth_to_space_hw,
     downsample_s2d_domain,
+    downsample_s2d_to_s2d,
     s2d_down_kernel,
     space_to_depth_hw,
+    upsample_s2d_to_s2d,
     upsample_to_s2d,
 )
 
@@ -289,10 +292,19 @@ class MoDEEncoderBlock(nn.Module):
     cfg: ModelConfig
     compute_dtype: Optional[jnp.dtype] = None
     s2d: bool = False
+    # input already arrives in THIS level's s2d domain (the previous
+    # encoder block downsampled straight into it) — skip the entry s2d
+    s2d_in: bool = False
+    # the NEXT level is s2d too: downsample straight into its s2d domain
+    # (ops/s2d.downsample_s2d_to_s2d — full 4Co lanes, no half-lane native
+    # write + no rearrange pass; eval twin measured 14.87 -> 15.39 Mvox/s
+    # combined with the decoder in-domain route, 2026-08-20). BN then runs
+    # phase-aware (phases=4): per-native-channel stats, identical params.
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, x, task_emb, *, train: bool):
-        if self.s2d:
+        if self.s2d and not self.s2d_in:
             x = space_to_depth_hw(x)
         x_skip = MoDESubNet2Conv(
             self.num_experts, self.num_tasks, self.in_chan, self.out_chan,
@@ -302,7 +314,11 @@ class MoDEEncoderBlock(nn.Module):
             "down_w", torch_uniform_init(self.out_chan * 8),
             (2, 2, 2, self.out_chan, self.out_chan),
         )
-        if self.s2d:
+        if self.s2d and self.s2d_out:
+            x = downsample_s2d_to_s2d(
+                x_skip, s2d_down_kernel(w_down), compute_dtype=self.compute_dtype
+            )
+        elif self.s2d:
             x = downsample_s2d_domain(
                 x_skip, s2d_down_kernel(w_down), compute_dtype=self.compute_dtype
             )
@@ -310,7 +326,7 @@ class MoDEEncoderBlock(nn.Module):
             x = downsample2x_conv(x_skip, w_down, compute_dtype=self.compute_dtype)
         x = BatchNorm3d(
             self.out_chan, momentum=self.cfg.bn_momentum, eps=self.cfg.bn_eps,
-            name="down_bn",
+            phases=4 if (self.s2d and self.s2d_out) else 1, name="down_bn",
         )(x, train=train)
         x = nn.relu(x)
         return x, x_skip
@@ -333,6 +349,13 @@ class MoDEDecoderBlock(nn.Module):
     cfg: ModelConfig
     compute_dtype: Optional[jnp.dtype] = None
     s2d: bool = False
+    # input arrives in the PREVIOUS level's s2d domain (consecutive s2d
+    # decoder levels): upsample in-domain (ops/s2d.upsample_s2d_to_s2d)
+    # instead of depth_to_space + native-input upsample — the narrow
+    # full-resolution native tensor is never materialized (the eval path
+    # has run this route since round 2; old route measured 9.5 vs 5.9 ms
+    # at the L2->L1 eval shape, bench_edges 2026-08-20)
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x, x_skip, task_emb, *, train: bool):
@@ -341,7 +364,9 @@ class MoDEDecoderBlock(nn.Module):
             "up_w", torch_uniform_init(self.out_chan * 8),
             (2, 2, 2, self.in_chan, self.out_chan),
         )
-        if self.s2d:
+        if self.s2d and self.s2d_in:
+            x = upsample_s2d_to_s2d(x, w_up, compute_dtype=self.compute_dtype)
+        elif self.s2d:
             x = upsample_to_s2d(x, w_up, compute_dtype=self.compute_dtype)
         else:
             x = upsample2x_convt(x, w_up, compute_dtype=self.compute_dtype)
@@ -391,13 +416,33 @@ class RepModeNet(nn.Module):
 
             s2d_levels = set(default_s2d_levels(cfg))
 
+        # In-domain resamples between CONSECUTIVE s2d levels (encoder
+        # down -> next level's s2d directly; decoder upsample s2d -> s2d):
+        # zero rearrange passes at the level seams, exact math. MEASURED
+        # NEGATIVE for training (2026-08-20, clean-window A/B,
+        # bench_logs/bench_train_r5_ab.log): 320.3 -> 325.6 ms/step
+        # pipelined — the fused-seam einsums' VJPs rebuild the 8D views as
+        # backward relayouts that cost more than the forward saves. The
+        # same fusions WIN at eval (no backward): 14.87 -> 15.39 Mvox/s
+        # (models/reparam.py, default on there). Default OFF here;
+        # REPMODE_TRAIN_INDOMAIN_RESAMPLE=1 opts in (exact both ways,
+        # golden-parity-tested on both legs).
+        indomain = os.environ.get(
+            "REPMODE_TRAIN_INDOMAIN_RESAMPLE", "0"
+        ) == "1"
+
         # encoder (RepMode.py:56-59); s2d-level skips stay in the s2d domain
         skips = []
         in_ch = cfg.in_channels
         for i in range(cfg.depth):
+            lev = i + 1
+            lev_s2d = lev in s2d_levels
             x, x_skip = MoDEEncoderBlock(
-                e, t, in_ch, chans[i], cfg, cdt, s2d=(i + 1) in s2d_levels,
-                name=f"encoder_block{i + 1}",
+                e, t, in_ch, chans[i], cfg, cdt, s2d=lev_s2d,
+                s2d_in=indomain and lev_s2d and (lev - 1) in s2d_levels,
+                s2d_out=indomain and lev_s2d and (lev + 1) in s2d_levels
+                and lev < cfg.depth,
+                name=f"encoder_block{lev}",
             )(x, task_emb, train=train)
             skips.append(x_skip)
             in_ch = chans[i]
@@ -408,16 +453,25 @@ class RepModeNet(nn.Module):
         )(x, task_emb, train=train)
 
         # decoder (RepMode.py:65-68); s2d decoder blocks emit s2d tensors —
-        # convert back to native only when the next consumer needs it
+        # convert back to native only when the next consumer needs it.
+        # prev_out_s2d: the running tensor is in the PRODUCING level's s2d
+        # domain (consecutive s2d decoder levels skip the d2s round-trip
+        # and the next block upsamples in-domain).
+        prev_out_s2d = False
         for i in range(cfg.depth, 0, -1):
             level_s2d = i in s2d_levels
             x = MoDEDecoderBlock(
                 e, t, chans[i], chans[i - 1], cfg, cdt, s2d=level_s2d,
+                s2d_in=prev_out_s2d,
                 name=f"decoder_block{i}",
             )(x, skips[i - 1], task_emb, train=train)
             next_consumer_s2d = (i == 1) and level_s2d  # conv_out in-domain
-            if level_s2d and not next_consumer_s2d:
+            keep_s2d = (
+                indomain and level_s2d and i > 1 and (i - 1) in s2d_levels
+            )
+            if level_s2d and not next_consumer_s2d and not keep_s2d:
                 x = depth_to_space_hw(x)
+            prev_out_s2d = keep_s2d
 
         # final gate-only conv, no BN/ReLU (RepMode.py:42,150-151)
         out_s2d = 1 in s2d_levels

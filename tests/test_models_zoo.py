@@ -122,3 +122,57 @@ def test_train_impl_auto_resolves_to_expert_sum_off_tpu(rng):
         y, _ = m.apply(v, x, emb, train=True, mutable=["batch_stats"])
         outs[impl] = np.asarray(y)
     np.testing.assert_array_equal(outs["auto"], outs["expert_sum"])
+
+
+def test_indomain_resample_legs_equal(rng):
+    """REPMODE_TRAIN_INDOMAIN_RESAMPLE=1 (fused level-seam resamples,
+    measured eval-win / train-negative, ARCHITECTURE §13) must compute the
+    same function as the default native-seam graph — forward AND gradients.
+    Keeps the opt-in leg correct even though training ships with it off."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from repmode_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from repmode_tpu.models import build_model
+
+    cfg = Config(
+        model=ModelConfig(mult_chan=2, depth=3),  # levels 1..3 all s2d
+        train=TrainConfig(patch_size=(8, 16, 16), compute_dtype="float32"),
+        data=DataConfig(adopted_datasets=("a", "b")),
+    )
+    net = build_model(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 16, 1)), jnp.float32)
+    task = jnp.asarray([0, 1], jnp.int32)
+
+    outs, grads = {}, {}
+    for leg in ("0", "1"):
+        os.environ["REPMODE_TRAIN_INDOMAIN_RESAMPLE"] = leg
+        try:
+            variables = net.init({"params": jax.random.PRNGKey(0)}, x, task)
+
+            def loss(params):
+                y, _ = net.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    x, task, train=True, mutable=["batch_stats"],
+                )
+                return jnp.sum(y ** 2)
+
+            outs[leg] = net.apply(variables, x, task, train=False)
+            grads[leg] = jax.grad(loss)(variables["params"])
+        finally:
+            os.environ.pop("REPMODE_TRAIN_INDOMAIN_RESAMPLE", None)
+
+    np.testing.assert_allclose(
+        np.asarray(outs["1"]), np.asarray(outs["0"]), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(grads["1"]), jax.tree.leaves(grads["0"])):
+        p = np.asarray(b)
+        # same math, different reduction trees (the fused-seam einsums
+        # reassociate the contraction): fp32 roundoff-level agreement
+        np.testing.assert_allclose(
+            np.asarray(a), p, rtol=1e-3, atol=5e-5 * (1.0 + np.abs(p).max())
+        )
