@@ -101,11 +101,17 @@ def main():
         # the dispatch knobs this number was measured under (default-on
         # harvest legs + the flat-buffer Adam; ARCHITECTURE.md §12)
         "env": {
-            k: os.environ.get(k, "<default=1>" if k != "REPMODE_ENC1_IM2COL"
-               else "<default=0>")
+            k: os.environ.get(
+                k,
+                "<default=0>" if k in (
+                    "REPMODE_ENC1_IM2COL",
+                    "REPMODE_TRAIN_INDOMAIN_RESAMPLE",
+                ) else "<default=1>",
+            )
             for k in (
                 "REPMODE_FLAT_ADAM", "REPMODE_DX_TRANSPOSE",
                 "REPMODE_TAPMAJOR_DEPTHFOLD", "REPMODE_ENC1_IM2COL",
+                "REPMODE_TRAIN_INDOMAIN_RESAMPLE",
             )
         },
         "ab_chain": (
