@@ -131,6 +131,37 @@ class TestOptSchemaMigration:
             rtol=0, atol=0,
         )
 
+    def test_migrated_restore_feeds_dp_mesh_step(self, tmp_path, monkeypatch):
+        """A per-tensor-Adam checkpoint restored under the flat default must
+        also work as the start of DATA-PARALLEL training: replicate the
+        migrated state onto an 8-device mesh and run one sharded step."""
+        import optax
+
+        from repmode_tpu.parallel import make_mesh, replicate, shard_batch
+        from repmode_tpu.train import make_train_step
+
+        cfg = tiny_cfg()
+        per_tensor = optax.adam(cfg.train.lr, b1=0.9, b2=0.999, eps=1e-8)
+        state, _, _ = _one_step_state(cfg, per_tensor)
+        path = str(tmp_path / "dp_old_ck")
+        save_checkpoint(path, state, cfg)
+
+        monkeypatch.delenv("REPMODE_FLAT_ADAM", raising=False)
+        restored, _ = load_checkpoint(path)
+
+        mesh = make_mesh(8)
+        restored = replicate(mesh, restored)
+        step = make_train_step(cfg, donate=False)
+        batch = shard_batch(mesh, {
+            "signal": np.random.default_rng(1).standard_normal(
+                (8, 8, 16, 16, 1)).astype(np.float32),
+            "target": np.zeros((8, 8, 16, 16, 1), np.float32),
+            "task": np.arange(8, dtype=np.int32) % 2,
+        })
+        new_state, m = step(restored, batch)
+        assert np.isfinite(float(m["loss"]))
+        assert int(new_state.step) == 2  # resumed counter + one DP step
+
     def test_meta_json_records_schema(self, tmp_path):
         import json
 
